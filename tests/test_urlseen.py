@@ -1,0 +1,75 @@
+"""URL-seen set semantics (BdbUriUniqFilterTest / UriUniqFilter interface port)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from heritrix3_spark import fp
+from heritrix3_spark.operators.urlseen import UrlSeen, fp_udf
+from heritrix3_spark.storage import SnapshotCatalog
+
+
+def _urls_df(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], ["canonical"]).withColumn(
+        "fp", fp_udf(F.col("canonical"))
+    )
+
+
+@pytest.fixture(params=[False, True], ids=["exact", "bloom"])
+def urlseen(request, tmp_path):
+    return UrlSeen(
+        SnapshotCatalog(str(tmp_path / "cat")),
+        num_buckets=8,
+        bloom=request.param,
+        bloom_bits_per_bucket=1 << 14,
+    )
+
+
+def test_add_then_dedup(spark, urlseen):
+    batch1 = _urls_df(spark, [f"http://h{i % 3}.example/p{i}" for i in range(20)])
+    assert urlseen.filter_novel(batch1).count() == 20  # empty set: all novel
+    assert urlseen.add_fps(batch1) == 20
+    assert urlseen.filter_novel(batch1).count() == 0
+    batch2 = _urls_df(
+        spark, [f"http://h{i % 3}.example/p{i}" for i in range(15, 25)]
+    )  # 5 old, 5 new
+    novel = urlseen.filter_novel(batch2)
+    assert sorted(r.canonical for r in novel.collect()) == sorted(
+        f"http://h{i % 3}.example/p{i}" for i in range(20, 25)
+    )
+
+
+def test_fp_udf_matches_scalar(spark):
+    df = _urls_df(spark, ["dns:archive.org", "http://archive.org/index.html"])
+    got = {r.canonical: r.fp for r in df.collect()}
+    assert got["dns:archive.org"] == 8812917769287344085
+    assert got["http://archive.org/index.html"] == 6613237167064754714
+
+
+def test_forget_allows_rediscovery(spark, urlseen):
+    urls = ["http://a.example/1", "http://a.example/2"]
+    urlseen.add_fps(_urls_df(spark, urls))
+    assert urlseen.filter_novel(_urls_df(spark, urls)).count() == 0
+    urlseen.forget_fps(_urls_df(spark, ["http://a.example/2"]))
+    novel = urlseen.filter_novel(_urls_df(spark, urls)).collect()
+    assert [r.canonical for r in novel] == ["http://a.example/2"]
+
+
+def test_forget_authority_range_delete(spark, urlseen):
+    """forgetAllSchemeAuthorityMatching: drop every fp of one authority."""
+    a = [f"http://gone.example/p{i}" for i in range(5)]
+    b = [f"http://kept.example/p{i}" for i in range(5)]
+    urlseen.add_fps(_urls_df(spark, a + b))
+    prefix = fp.authority_prefix24(fp.create_key("http://gone.example/p0"))
+    urlseen.forget_authority(spark, prefix)
+    novel = urlseen.filter_novel(_urls_df(spark, a + b))
+    assert sorted(r.canonical for r in novel.collect()) == sorted(a)
+
+
+def test_count_and_idempotent_add(spark, urlseen):
+    df = _urls_df(spark, ["http://x.example/1", "http://x.example/1", "http://x.example/2"])
+    assert urlseen.add_fps(df) == 2  # in-batch dup collapsed
+    assert urlseen.count(spark) == 2
+    assert urlseen.add_fps(df) == 0  # idempotent
+    assert urlseen.count(spark) == 2
