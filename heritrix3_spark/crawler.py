@@ -1,0 +1,545 @@
+"""The crawl engine — a driver-side loop of macro-batch DataFrame rounds.
+
+Replaces Heritrix's ToeThreads + managerThread + BerkeleyDB frontier
+(/root/reference/engine/src/main/java/org/archive/crawler/frontier/
+ WorkQueueFrontier.java:581-738, 927-1029; framework/ToeThread.java:123-180)
+with deterministic set operations over snapshot tables:
+
+  frontier    — pending URIs (FRONTIER_SCHEMA), the per-host queues
+  url_seen    — host-bucketed fingerprints (operators/urlseen.py)
+  host_state  — per-class_key wake_time / expenditure / retired
+  crawl_log   — per-URI disposition rows (crawl.log analog)
+  journal     — F+/Fe/Fs/Ff/Fd/Fr event tags (FrontierJournal analog,
+                engine/.../frontier/FrontierJournal.java:54-115)
+
+One round = ONE DataFrame DAG: eligibility filter -> per-queue window
+head-pick -> synthetic/pluggable fetch -> span extraction (explode) ->
+scope fold -> preparation columns -> bloom+anti-join dedup -> deterministic
+ordinal assignment -> state merge. The round semantics contract is
+documented in :mod:`heritrix3_spark.simulator` and both implementations
+must agree exactly.
+
+Scale design (10^10-URL frontier):
+* no global sorts: the head-pick window partitions by class_key; ordinal
+  assignment is a range-partitioned two-pass rank (per-partition offsets),
+  not a single-partition window;
+* the frontier and url_seen stay bucketed by host so the per-round joins
+  co-partition; AQE splits residual hot-host skew;
+* per-round candidate volume is bounded by k × |eligible hosts|;
+* every round commits new table snapshots + a checkpoint marker — resume
+  reads the last checkpoint and time-travels the tables (CheckpointService
+  analog, engine/.../framework/CheckpointService.java:93-310).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from heritrix3_spark.functions.canonicalize import canonical_col
+from heritrix3_spark.functions.surt import class_key_col
+from heritrix3_spark.operators import frontier as FR
+from heritrix3_spark.operators import scope as SC
+from heritrix3_spark.operators.extract import extract_outlinks_from_spans
+from heritrix3_spark.operators.urlseen import UrlSeen, fp_udf
+from heritrix3_spark.sources.seeds import seeds_from_lines
+from heritrix3_spark.storage import SnapshotCatalog
+
+HOST_STATE_SCHEMA = StructType(
+    [
+        StructField("class_key", StringType(), False),
+        StructField("wake_time", LongType(), False),
+        StructField("total_expenditure", LongType(), False),
+        StructField("error_count", LongType(), False),
+        StructField("retired", StringType(), False),  # 'y'/'n' (parquet-friendly)
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    k_per_host: int = 1
+    max_hops: int = 20
+    fetch_duration_ms: int = 100
+    delay_factor: float = 5.0
+    min_delay_ms: int = 3000
+    max_delay_ms: int = 30000
+    error_penalty: int = 100
+    total_budget: int = -1
+    max_rounds: int = 10_000
+    preference_embed_hops: int = 1
+    num_buckets: int = 32
+    bloom: bool = True
+    ordinal_partitions: int = 8
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        web: DataFrame,
+        config: CrawlConfig | None = None,
+        fetch_status_overrides: DataFrame | None = None,
+    ):
+        """``web``: documents(doc_id, spans) — the synthetic/test fetch
+        universe. In production the fetch stage is a pluggable mapInPandas
+        over due URIs (async HTTP pool per partition); here it is a join
+        against ``web`` (status 200) with missing pages -> 404.
+        ``fetch_status_overrides``: optional (canonical, status) to inject
+        failures for retry/disregard-path tests.
+        """
+        self.spark = spark
+        self.catalog = SnapshotCatalog(state_dir)
+        self.web = web
+        self.cfg = config or CrawlConfig()
+        self.urlseen = UrlSeen(self.catalog, num_buckets=self.cfg.num_buckets, bloom=self.cfg.bloom)
+        self.frontier_t = self.catalog.table("frontier")
+        self.host_t = self.catalog.table("host_state")
+        # one append-only event table per crawl: journal tags F+/Fs/Fr/Fd/Ff
+        # (FrontierJournal analog) + crawl.log disposition fields in one row
+        self.events_t = self.catalog.table("events")
+        self.overrides = fetch_status_overrides
+        # driver-held scalars (checkpointed)
+        self.round = 0
+        self.clock = 0
+        self.next_ordinal = 1
+        self.seed_prefixes: list[str] = []
+
+    # ------------------------------------------------------------------
+    # bootstrap
+    # ------------------------------------------------------------------
+    def bootstrap(self, seed_lines: list[str]) -> None:
+        """Seeds -> prepared frontier rows with ordinals 1..n (seed order)."""
+        lines_df = self.spark.createDataFrame([(l,) for l in seed_lines], ["line"])
+        seeds = seeds_from_lines(lines_df)
+        prepared = self._prepare(seeds.withColumn("hops_path", F.lit("")))
+        # in-batch canonical dedup, first seed wins (file order)
+        w = Window.partitionBy("fp").orderBy(F.col("__order"))
+        seeds_ord = (
+            prepared.withColumn("__order", F.monotonically_increasing_id())
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+        seeds_ord = self._assign_ordinals(seeds_ord, ["__order"]).drop("__order")
+        # derive the seed-implied SURT scope prefixes (driver-side, tiny)
+        canon = [r.canonical for r in seeds_ord.select("canonical").orderBy("ordinal").collect()]
+        self.seed_prefixes = SC.seed_surt_prefixes(canon)
+        frontier = seeds_ord.select(
+            "uri", "canonical", "fp", "class_key", "is_seed", "hops_path", "via",
+            "via_context", "sched_directive", "precedence", "cost", "ordinal",
+            F.lit(0).alias("fetch_attempts"), F.lit(False).alias("force_fetch"),
+        )
+        self.frontier_t.overwrite(frontier.repartition(self.cfg.num_buckets, "class_key"))
+        self.urlseen.add_fps(frontier.select("fp"))
+        hosts = frontier.groupBy("class_key").agg(F.count("*").alias("pending")).select(
+            "class_key",
+            F.col("pending").cast("long"),
+            F.lit(0).cast("long").alias("wake_time"),
+            F.lit(0).cast("long").alias("total_expenditure"),
+            F.lit(0).cast("long").alias("error_count"),
+            F.lit("n").alias("retired"),
+        )
+        self.host_t.overwrite(hosts)
+        self.events_t.append(
+            frontier.select(
+                F.lit(0).alias("round"),
+                F.lit("F+").alias("tag"),
+                "class_key",
+                "uri",
+                "canonical",
+                "ordinal",
+                F.lit(None).cast("int").alias("fetch_status"),
+                F.lit(None).cast("string").alias("disposition"),
+            )
+        )
+        self._checkpoint()
+
+    # ------------------------------------------------------------------
+    # preparation stage (FrontierPreparer.prepare analog)
+    # ------------------------------------------------------------------
+    def _prepare(self, cand: DataFrame) -> DataFrame:
+        """candidates(uri, hops_path, via, is_seed?, sched_directive?) ->
+        + canonical, fp, class_key, cost, precedence, final directive."""
+        if "is_seed" not in cand.columns:
+            cand = cand.withColumn("is_seed", F.lit(False))
+        if "sched_directive" not in cand.columns:
+            cand = cand.withColumn("sched_directive", F.lit(FR.NORMAL))
+        if "via_context" not in cand.columns:
+            cand = cand.withColumn("via_context", F.lit(None).cast("string"))
+        directive = FR.scheduling_directive_col(
+            F.col("hops_path"),
+            F.col("sched_directive"),
+            preference_embed_hops=self.cfg.preference_embed_hops,
+        )
+        cost = FR.unit_cost_col()
+        out = (
+            cand.withColumn("sched_directive", directive)
+            .withColumn("canonical", canonical_col(F.col("uri")))
+            .withColumn("fp", fp_udf(F.col("canonical")))
+            .withColumn(
+                "class_key", class_key_col(F.col("canonical"), F.col("hops_path"), F.col("via"))
+            )
+            .withColumn("cost", cost)
+            .withColumn("precedence", FR.cost_uri_precedence_col(F.col("cost")))
+        )
+        return out
+
+    # ------------------------------------------------------------------
+    # deterministic scalable ordinal assignment
+    # ------------------------------------------------------------------
+    def _assign_ordinals(self, df: DataFrame, order_cols: list[str]) -> DataFrame:
+        """Global discovery-order rank + next_ordinal offset, without a
+        single-partition sort: range-partition on the (unique) order key,
+        rank within partitions, add per-partition cumulative offsets
+        (collected counts are O(partitions)). Mirrors prepForFrontier's
+        ordinal serial (AbstractFrontier.java:821-825) deterministically.
+        """
+        parts = max(1, self.cfg.ordinal_partitions)
+        ranged = (
+            df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+            .sortWithinPartitions(*order_cols)
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        ranged = ranged.persist()
+        counts = {
+            r["__pid"]: r["cnt"]
+            for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        if not counts:  # empty candidate batch
+            return ranged.drop("__pid").withColumn("ordinal", F.lit(0).cast("long"))
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = self.spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], ["__pid", "__off"]
+        )
+        w = Window.partitionBy("__pid").orderBy(*order_cols)
+        out = (
+            ranged.join(F.broadcast(off_df), "__pid")
+            .withColumn(
+                "ordinal",
+                (F.lit(self.next_ordinal) + F.col("__off") + F.row_number().over(w) - 1).cast(
+                    "long"
+                ),
+            )
+            .drop("__pid", "__off")
+        )
+        self.next_ordinal += acc
+        return out
+
+    # ------------------------------------------------------------------
+    # one round
+    # ------------------------------------------------------------------
+    def run_round(self) -> bool:
+        """Execute one macro-batch round. Returns False when crawl is done."""
+        cfg = self.cfg
+        frontier = self.frontier_t.read(self.spark)
+        hosts = self.host_t.read(self.spark)
+
+        # host_state carries pending counts, so eligibility never scans the
+        # frontier — at 10^10 URLs host_state is O(hosts), frontier O(URLs)
+        live = hosts.filter((F.col("retired") == "n") & (F.col("pending") > 0))
+        live_stats = live.agg(
+            F.count("*").alias("n_live"),
+            F.min("wake_time").alias("min_wake"),
+            F.sum(F.when(F.col("wake_time") <= self.clock, 1).otherwise(0)).alias("n_eligible"),
+        ).collect()[0]
+        if not live_stats.n_live:
+            return False
+        if live_stats.n_eligible == 0:
+            self.clock = max(self.clock + 1, live_stats.min_wake)
+
+        eligible_keys = live.filter(F.col("wake_time") <= self.clock).select("class_key")
+        emitted = FR.head_pick(
+            frontier.join(F.broadcast(eligible_keys), "class_key"), k=cfg.k_per_host
+        )
+
+        # --- fetch (synthetic: join against the web documents table) ----
+        web = self.web.select(F.col("doc_id"), F.col("spans"))
+        fetched = emitted.join(web, emitted["canonical"] == web["doc_id"], "left")
+        status = F.when(F.col("doc_id").isNotNull(), F.lit(200)).otherwise(F.lit(404))
+        if self.overrides is not None:
+            ov = self.overrides.select(
+                F.col("canonical").alias("__ov_canon"), F.col("status").alias("__ov_status")
+            )
+            fetched = fetched.join(ov, fetched["canonical"] == ov["__ov_canon"], "left")
+            status = F.coalesce(F.col("__ov_status"), status)
+        fetched = fetched.withColumn("fetch_status", status).withColumn(
+            "fetch_duration", F.lit(cfg.fetch_duration_ms).cast("long")
+        )
+
+        # disposition law columns
+        fetched = (
+            fetched.withColumn("__attempts", F.col("fetch_attempts") + 1)
+            .withColumn("__retry", FR.needs_retry_col(F.col("fetch_status"), F.col("__attempts")))
+            .withColumn("__disregard", FR.is_disregarded_col(F.col("fetch_status")))
+            .withColumn("__success", FR.is_success_col(F.col("fetch_status")))
+            .withColumn(
+                "__politeness",
+                FR.politeness_delay_col(
+                    F.col("fetch_duration"),
+                    None,
+                    cfg.delay_factor,
+                    cfg.min_delay_ms,
+                    cfg.max_delay_ms,
+                ),
+            )
+            .withColumn(
+                "disposition",
+                F.when(F.col("__retry"), F.lit("retry"))
+                .when(F.col("__success"), F.lit("success"))
+                .when(F.col("__disregard"), F.lit("disregard"))
+                .otherwise(F.lit("fail")),
+            )
+        )
+        fetched = fetched.persist()
+
+        # --- crawl log / journal rows (one combined events append) --------
+        log_rows = fetched.select(
+            F.lit(self.round).alias("round"),
+            F.when(F.col("disposition") == "success", "Fs")
+            .when(F.col("disposition") == "retry", "Fr")
+            .when(F.col("disposition") == "disregard", "Fd")
+            .otherwise("Ff")
+            .alias("tag"),
+            "class_key",
+            "uri",
+            "canonical",
+            "ordinal",
+            "fetch_status",
+            "disposition",
+        )
+
+        # --- outlink extraction -> scope -> prepare -> dedup -------------
+        pages = fetched.filter(
+            (F.col("fetch_status") >= 200) & (F.col("fetch_status") < 400)
+        ).select(
+            F.col("canonical").alias("page"),
+            F.col("uri").alias("parent_uri"),
+            F.col("hops_path").alias("parent_hops"),
+            F.col("ordinal").alias("parent_ordinal"),
+            "spans",
+        )
+        outlinks = extract_outlinks_from_spans(pages, doc_id="page", spans="spans").join(
+            pages.drop("spans"), F.col("doc_id") == F.col("page")
+        )
+        cand = outlinks.select(
+            F.col("url").alias("uri"),
+            F.concat(F.col("parent_hops"), F.col("hop")).alias("hops_path"),
+            F.col("parent_uri").alias("via"),
+            F.col("context").alias("via_context"),
+            "parent_ordinal",
+            "outlink_index",
+        )
+        in_scope = cand.filter(
+            SC.default_scope(
+                F.col("uri"), F.col("hops_path"), self.seed_prefixes, cfg.max_hops
+            )
+        )
+        prepared = self._prepare(in_scope)
+        # in-batch first-discovery wins (serial add() order)
+        w = Window.partitionBy("fp").orderBy("parent_ordinal", "outlink_index")
+        first = (
+            prepared.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+        novel = self.urlseen.filter_novel(first)
+        novel = self._assign_ordinals(novel, ["parent_ordinal", "outlink_index"])
+        novel_rows = novel.select(
+            "uri", "canonical", "fp", "class_key", F.lit(False).alias("is_seed"),
+            "hops_path", "via", "via_context", "sched_directive", "precedence",
+            "cost", "ordinal", F.lit(0).alias("fetch_attempts"),
+            F.lit(False).alias("force_fetch"),
+        ).persist()
+        self.events_t.append(
+            log_rows.unionByName(
+                novel_rows.select(
+                    F.lit(self.round).alias("round"),
+                    F.lit("F+").alias("tag"),
+                    "class_key",
+                    "uri",
+                    "canonical",
+                    "ordinal",
+                    F.lit(None).cast("int").alias("fetch_status"),
+                    F.lit(None).cast("string").alias("disposition"),
+                )
+            )
+        )
+
+        # --- frontier update ---------------------------------------------
+        emitted_keys = fetched.select("fp").withColumnRenamed("fp", "__done_fp")
+        retries = (
+            fetched.filter(F.col("__retry"))
+            .select(
+                "uri", "canonical", "fp", "class_key", "is_seed", "hops_path", "via",
+                "via_context", "sched_directive", "precedence", "cost", "ordinal",
+                F.col("__attempts").alias("fetch_attempts"), "force_fetch",
+            )
+        )
+        remaining = frontier.join(
+            emitted_keys, frontier["fp"] == F.col("__done_fp"), "left_anti"
+        )
+        new_frontier = remaining.unionByName(retries).unionByName(novel_rows)
+        self.frontier_t.overwrite(new_frontier.repartition(cfg.num_buckets, "class_key"))
+
+        # --- url_seen update (fast delta append; already anti-joined) ------
+        self.urlseen.add_fps(novel_rows.select("fp"), assume_novel=True)
+
+        # --- host_state update ---------------------------------------------
+        # serial-per-host politeness: m fetches advance the host clock by
+        # sum(duration + delay); budget expend per disposition (DEFERRED
+        # retries excluded per WorkQueueFrontier.java:947-963)
+        per_host = fetched.groupBy("class_key").agg(
+            F.sum(F.col("fetch_duration") + F.col("__politeness")).alias("advance"),
+            F.sum(
+                F.when(
+                    (F.col("disposition") != "retry")
+                    | (F.col("fetch_status") != FR.S_DEFERRED),
+                    F.col("cost"),
+                ).otherwise(0)
+            ).alias("expend"),
+            F.sum(
+                F.when(F.col("disposition") == "fail", cfg.error_penalty).otherwise(0)
+            ).alias("penalty"),
+            F.count("*").alias("emitted_n"),
+            F.sum(F.when(F.col("__retry"), 1).otherwise(0)).alias("retry_n"),
+            F.sum(F.when(F.col("disposition") == "fail", 1).otherwise(0)).alias("fail_n"),
+        )
+        novel_per_host = novel_rows.groupBy("class_key").agg(F.count("*").alias("novel_n"))
+        hosts_all = hosts.join(novel_per_host, "class_key", "full").select(
+            "class_key",
+            F.coalesce(F.col("pending"), F.lit(0)).alias("pending"),
+            F.coalesce(F.col("novel_n"), F.lit(0)).alias("novel_n"),
+            F.coalesce(F.col("wake_time"), F.lit(0)).alias("wake_time"),
+            F.coalesce(F.col("total_expenditure"), F.lit(0)).alias("total_expenditure"),
+            F.coalesce(F.col("error_count"), F.lit(0)).alias("error_count"),
+            F.coalesce(F.col("retired"), F.lit("n")).alias("retired"),
+        )
+        ph = per_host.select(
+            F.col("class_key").alias("__ck"),
+            "advance", "expend", "penalty", "emitted_n", "retry_n", "fail_n",
+        )
+        updated = (
+            hosts_all.join(ph, hosts_all["class_key"] == ph["__ck"], "left")
+            .select(
+                "class_key",
+                (
+                    F.col("pending")
+                    + F.col("novel_n")
+                    - F.coalesce(F.col("emitted_n"), F.lit(0))
+                    + F.coalesce(F.col("retry_n"), F.lit(0))
+                ).alias("pending"),
+                F.when(
+                    F.col("advance").isNotNull(), F.lit(self.clock) + F.col("advance")
+                )
+                .otherwise(F.col("wake_time"))
+                .alias("wake_time"),
+                (
+                    F.col("total_expenditure")
+                    + F.coalesce(F.col("expend"), F.lit(0))
+                    + F.coalesce(F.col("penalty"), F.lit(0))
+                ).alias("total_expenditure"),
+                (F.col("error_count") + F.coalesce(F.col("fail_n"), F.lit(0))).alias(
+                    "error_count"
+                ),
+                F.col("retired"),
+            )
+            .withColumn(
+                "retired",
+                F.when(
+                    (F.lit(cfg.total_budget) >= 0)
+                    & (F.col("total_expenditure") >= cfg.total_budget),
+                    F.lit("y"),
+                ).otherwise(F.col("retired")),
+            )
+        )
+        self.host_t.overwrite(updated)
+
+        fetched.unpersist()
+        novel_rows.unpersist()
+        self.round += 1
+        self._checkpoint()
+        return True
+
+    def run(self, max_rounds: int | None = None) -> DataFrame:
+        limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        for _ in range(limit):
+            if not self.run_round():
+                break
+        return self.crawl_log()
+
+    # ------------------------------------------------------------------
+    # outputs & checkpointing
+    # ------------------------------------------------------------------
+    def crawl_log(self) -> DataFrame:
+        """Disposition rows only (crawl.log analog)."""
+        ev = self.events_t.read(self.spark)
+        return ev.filter(F.col("tag") != "F+").drop("tag")
+
+    def journal(self) -> DataFrame:
+        """Full event journal incl. F+ schedule events (recover.gz analog)."""
+        return self.events_t.read(self.spark).select("round", "tag", "canonical", "ordinal")
+
+    def seen_count(self) -> int:
+        return self.urlseen.count(self.spark)
+
+    def _checkpoint(self) -> None:
+        self.catalog.write_checkpoint(
+            f"r{self.round:06d}",
+            table_versions={
+                "frontier": self.frontier_t.latest_version(),
+                "host_state": self.host_t.latest_version(),
+                "events": self.events_t.latest_version(),
+                "url_seen": self.urlseen.table.latest_version(),
+                "url_seen_bloom": self.urlseen.bloom_table.latest_version(),
+            },
+            state={
+                "round": self.round,
+                "clock": self.clock,
+                "next_ordinal": self.next_ordinal,
+                "seed_prefixes": self.seed_prefixes,
+            },
+        )
+
+    @classmethod
+    def resume(
+        cls,
+        spark: SparkSession,
+        state_dir: str,
+        web: DataFrame,
+        config: CrawlConfig | None = None,
+        tag: str | None = None,
+    ) -> "CrawlEngine":
+        """Relaunch from the last (or a named) checkpoint: restore driver
+        scalars and time-travel every table to its recorded snapshot
+        (BdbFrontier.initAllQueues analog, BdbFrontier.java:290-332)."""
+        eng = cls(spark, state_dir, web, config)
+        tags = eng.catalog.list_checkpoints()
+        if not tags:
+            raise FileNotFoundError("no checkpoints to resume from")
+        ck = eng.catalog.read_checkpoint(tag or tags[-1])
+        st = ck["state"]
+        eng.round = st["round"]
+        eng.clock = st["clock"]
+        eng.next_ordinal = st["next_ordinal"]
+        eng.seed_prefixes = st["seed_prefixes"]
+        # roll tables back to the checkpointed snapshot (time-travel) by
+        # re-committing those versions as latest when newer ones exist
+        for name, ver in ck["tables"].items():
+            t = eng.catalog.table(name)
+            if t.latest_version() != ver and ver > 0:
+                t._commit(ver)
+        return eng

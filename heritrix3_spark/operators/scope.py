@@ -1,0 +1,165 @@
+"""Scoping predicates — the DecideRule algebra as tri-state columns.
+
+DecideRuleSequence.innerDecide folds rules in order; the LAST non-NONE
+ACCEPT/REJECT wins, and a final NONE counts as out-of-scope
+(/root/reference/modules/src/main/java/org/archive/modules/deciderules/
+ DecideRuleSequence.java:103-132; Scoper.java:105-126).
+
+Each rule here is a Column producing +1 (ACCEPT) / -1 (REJECT) / 0 (NONE);
+the fold is a reversed ``coalesce`` of nullified tri-states — one flat
+JVM expression, no Python, fully pushdown-friendly.
+
+Default scope chain re-stated from profile-crawler-beans.cxml:133-186 with
+each rule's cited law:
+
+  Reject -> acceptSurts -> TooManyHops(20) -> Transclusion(2,1) ->
+  PathologicalPath(2) -> TooManyPathSegments(20) -> PrerequisiteAccept ->
+  SchemeNotInSet(reject)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from heritrix3_spark.functions.surt import surt_col
+
+ACCEPT, REJECT, NONE = 1, -1, 0
+
+#: SchemeNotInSetDecideRule.java:46-66 default scheme set
+DEFAULT_SCHEMES = ("http", "https", "ftp", "dns", "whois", "sftp")
+
+
+def reject_all() -> Column:
+    """RejectDecideRule: unconditional REJECT (chain starter)."""
+    return F.lit(REJECT)
+
+
+def surt_prefixed(uri: Column, prefixes: list[str], decision: int = ACCEPT) -> Column:
+    """SurtPrefixedDecideRule (deciderules/surt/SurtPrefixedDecideRule.java:74-182).
+
+    ACCEPT when the URI's SURT form starts with any prefix in the set.
+    The prefix set (seed-derived) is a literal array here; at very large
+    prefix-set sizes switch to a broadcast join on the SURT authority.
+    """
+    s = surt_col(uri)
+    arr = F.array(*[F.lit(p) for p in prefixes])
+    hit = F.exists(arr, lambda p: s.startswith(p))
+    return F.when(hit, F.lit(decision)).otherwise(F.lit(NONE))
+
+
+def too_many_hops(hops_path: Column, max_hops: int = 20) -> Column:
+    """TooManyHopsDecideRule.java:69: REJECT if hop count > maxHops.
+
+    Hop count = length of hops_path (CrawlURI.getHopCount, :625-628;
+    the '+'-prefixed overflow form never occurs in our engine because we
+    keep full paths).
+    """
+    return F.when(F.length(hops_path) > max_hops, F.lit(REJECT)).otherwise(F.lit(NONE))
+
+
+def transclusion(
+    hops_path: Column, max_trans_hops: int = 2, max_speculative_hops: int = 1
+) -> Column:
+    """TransclusionDecideRule.java:86-120: ACCEPT a trailing run of
+    non-navlink hops when 0 < non-R-count <= maxTrans and X-count <= maxSpec.
+
+    The trailing run ends at the last L, S or M hop.
+    """
+    tail = F.regexp_extract(hops_path, "([^LSM]*)$", 1)
+    all_count = F.length(tail)
+    nonref = F.length(F.regexp_replace(tail, "R", ""))
+    spec = F.length(tail) - F.length(F.regexp_replace(tail, "X", ""))
+    ok = (all_count > 0) & (spec <= max_speculative_hops) & (nonref <= max_trans_hops)
+    return F.when(ok, F.lit(ACCEPT)).otherwise(F.lit(NONE))
+
+
+def pathological_path(uri: Column, max_repetitions: int = 2) -> Column:
+    """PathologicalPathDecideRule.java:60-78: REJECT when any path segment
+    repeats consecutively more than maxRepetitions times
+    (regex ``.*?/(.*?/)\\1{N,}.*``)."""
+    pat = r".*?/(.*?/)\1{" + str(max_repetitions) + r",}.*"
+    return F.when(uri.rlike("^" + pat + "$"), F.lit(REJECT)).otherwise(F.lit(NONE))
+
+
+def too_many_path_segments(uri: Column, max_segments: int = 20) -> Column:
+    """TooManyPathSegmentsDecideRule: REJECT when '/' count (after scheme)
+    exceeds maxSegments."""
+    slashes = F.length(uri) - F.length(F.regexp_replace(uri, "/", ""))
+    # discount the two scheme slashes when present
+    adj = F.when(uri.rlike("^[a-zA-Z][\\w+\\-.]*://"), slashes - 2).otherwise(slashes)
+    return F.when(adj > max_segments, F.lit(REJECT)).otherwise(F.lit(NONE))
+
+
+def prerequisite_accept(hops_path: Column) -> Column:
+    """PrerequisiteAcceptDecideRule: always ACCEPT a 'P' last hop."""
+    return F.when(F.substring(hops_path, -1, 1) == "P", F.lit(ACCEPT)).otherwise(F.lit(NONE))
+
+
+def scheme_not_in_set(uri: Column, schemes: tuple[str, ...] = DEFAULT_SCHEMES) -> Column:
+    """SchemeNotInSetDecideRule.java:65: REJECT unknown schemes."""
+    scheme = F.regexp_extract(uri, r"^([a-zA-Z][\w+\-.]*):", 1)
+    return F.when(~F.lower(scheme).isin(*schemes), F.lit(REJECT)).otherwise(F.lit(NONE))
+
+
+def matches_list_regex(uri: Column, patterns: list[str], decision: int = REJECT) -> Column:
+    """MatchesListRegexDecideRule: decision when URI matches any regex."""
+    if not patterns:
+        return F.lit(NONE)
+    cond = None
+    for p in patterns:
+        c = uri.rlike(p)
+        cond = c if cond is None else (cond | c)
+    return F.when(cond, F.lit(decision)).otherwise(F.lit(NONE))
+
+
+def decide_sequence(*rules: Column) -> Column:
+    """Fold: last non-NONE wins; all-NONE -> REJECT (out of scope)."""
+    nullified = [F.when(r != NONE, r) for r in reversed(rules)]
+    return F.coalesce(*nullified, F.lit(REJECT))
+
+
+def default_scope(
+    uri: Column,
+    hops_path: Column,
+    seed_surt_prefixes: list[str],
+    max_hops: int = 20,
+    reject_regexes: list[str] | None = None,
+) -> Column:
+    """The default crawl scope as one boolean Column (True = in scope)."""
+    seq = decide_sequence(
+        reject_all(),
+        surt_prefixed(uri, seed_surt_prefixes),
+        too_many_hops(hops_path, max_hops),
+        transclusion(hops_path),
+        matches_list_regex(uri, reject_regexes or []),
+        pathological_path(uri),
+        too_many_path_segments(uri),
+        prerequisite_accept(hops_path),
+        scheme_not_in_set(uri),
+    )
+    return seq == ACCEPT
+
+
+def seed_surt_prefixes(seed_uris: list[str]) -> list[str]:
+    """SURT prefixes implied by seeds (SurtPrefixSet.prefixFromPlainForceHttp
+    semantics: scheme+authority of each seed; http(s) unified to http).
+
+    Heritrix derives 'implied prefixes' from seeds — the authority-level
+    SURT up to and including the ')' (so any path on the seed's host
+    matches); https seeds imply the http-form prefix too.
+    """
+    from heritrix3_spark.functions.surt import surt
+
+    out = []
+    for u in seed_uris:
+        s = surt(u)
+        i = s.find(")")
+        if i == -1:
+            continue
+        prefix = s[: i + 1]
+        if prefix.startswith("https://"):
+            prefix = "http://" + prefix[len("https://") :]
+        if prefix not in out:
+            out.append(prefix)
+    return out

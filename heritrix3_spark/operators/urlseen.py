@@ -174,17 +174,24 @@ class UrlSeen:
         blooms = self.bloom_table.read(spark)
         nbits = self.bloom_nbits
 
+        # shards are append-mode: OR all rows of a bucket into one filter
+        blooms = blooms.groupBy("bucket").agg(F.collect_list("bits").alias("bits_list"))
+
         def probe(pdf_iter):
             for pdf in pdf_iter:
-                out = pdf.drop(columns=["bits"])
+                out = pdf.drop(columns=["bits_list"])
                 maybe = np.zeros(len(pdf), dtype=bool)
                 fps = pdf[fp_field].to_numpy(dtype=np.int64)
                 for b in pdf["__bucket"].unique():
                     mask = (pdf["__bucket"] == b).to_numpy()
-                    raw = pdf.loc[mask, "bits"].iloc[0]
-                    if raw is None:
+                    raws = pdf.loc[mask, "bits_list"].iloc[0]
+                    if raws is None or len(raws) == 0:
                         continue  # bucket has no shard yet: definitely new
-                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    arr = np.frombuffer(raws[0], dtype=np.uint8)
+                    if len(raws) > 1:
+                        arr = arr.copy()
+                        for raw in raws[1:]:
+                            arr |= np.frombuffer(raw, dtype=np.uint8)
                     maybe[mask] = _bloom_maybe_contains(fps[mask], arr, nbits)
                 out["__maybe_seen"] = maybe
                 yield out
@@ -193,24 +200,40 @@ class UrlSeen:
             F.broadcast(blooms), on=cand["__bucket"] == blooms["bucket"], how="left"
         ).drop(blooms["bucket"])
         out_schema = StructType(
-            [f for f in joined.schema.fields if f.name != "bits"]
+            [f for f in joined.schema.fields if f.name != "bits_list"]
             + [StructField("__maybe_seen", BooleanType(), False)]
         )
         return joined.mapInPandas(probe, schema=out_schema)
 
     # -- writes -------------------------------------------------------------
-    def add_fps(self, fps: DataFrame, fp_field: str = "fp") -> int:
-        """Insert fingerprints (idempotent). Returns new-row count.
+    def add_fps(
+        self, fps: DataFrame, fp_field: str = "fp", assume_novel: bool = False
+    ) -> int | None:
+        """Insert fingerprints (idempotent). Returns new-row count (or None
+        on the assume_novel fast path, which skips the counting job).
 
         Covers add/addNow/addForce/note — they differ only in scheduling
         behavior, which the frontier handles; the seen-set mutation is the
         same "insert if absent" (SetBasedUriUniqFilter.java:89-120).
+
+        ``assume_novel=True`` is the crawl-loop fast path: the caller just
+        anti-joined these fps (filter_novel), so we fast-append the delta
+        (O(new) per round) and append matching bloom shards; periodic
+        compaction re-buckets the table.
         """
         spark = fps.sparkSession
         new = fps.select(
             F.col(fp_field).alias("fp"),
             bucket_col(F.col(fp_field), self.num_buckets).alias("bucket"),
         ).dropDuplicates(["fp"])
+        if assume_novel and self.table.exists():
+            new = new.persist()
+            self.table.append(new)
+            if self.bloom:
+                self._append_bloom(new)
+            new.unpersist()
+            self._maybe_compact(spark)
+            return None
         if self.table.exists():
             old = self.table.read(spark)
             new = new.join(old, "fp", "left_anti")
@@ -224,6 +247,20 @@ class UrlSeen:
             if self.bloom:
                 self._rebuild_bloom(spark)
         return n_new
+
+    #: compact after this many delta appends (keeps file counts bounded)
+    COMPACT_EVERY = 32
+
+    def _maybe_compact(self, spark: SparkSession) -> None:
+        if len(self.table._parents(self.table.latest_version())) >= self.COMPACT_EVERY:
+            merged = (
+                self.table.read(spark)
+                .repartition(self.num_buckets, "bucket")
+                .sortWithinPartitions("fp")
+            )
+            self.table.overwrite(merged)
+            if self.bloom:
+                self._rebuild_bloom(spark)
 
     def forget_fps(self, fps: DataFrame, fp_field: str = "fp") -> None:
         """forget: remove so the URI can be rediscovered (UriUniqFilter.forget)."""
@@ -249,23 +286,24 @@ class UrlSeen:
         if self.bloom:
             self._rebuild_bloom(spark)
 
-    def _rebuild_bloom(self, spark: SparkSession) -> None:
-        """Rebuild per-bucket bloom shards from the seen table.
+    _BLOOM_SCHEMA = StructType(
+        [StructField("bucket", IntegerType()), StructField("bits", BinaryType())]
+    )
 
-        Incremental-OR at scale (only new fps' buckets change); full
-        rebuild here since sandbox buckets are tiny.
-        """
+    def _shards_for(self, fps_df: DataFrame) -> DataFrame:
         nbits = self.bloom_nbits
 
         def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
             bits = _bloom_build(pdf["fp"].to_numpy(dtype=np.int64), nbits)
             return pd.DataFrame({"bucket": [key[0]], "bits": [bits.tobytes()]})
 
-        seen = self.table.read(spark)
-        blooms = seen.groupBy("bucket").applyInPandas(
-            build,
-            schema=StructType(
-                [StructField("bucket", IntegerType()), StructField("bits", BinaryType())]
-            ),
-        )
-        self.bloom_table.overwrite(blooms)
+        return fps_df.groupBy("bucket").applyInPandas(build, schema=self._BLOOM_SCHEMA)
+
+    def _rebuild_bloom(self, spark: SparkSession) -> None:
+        """Full rebuild of per-bucket bloom shards from the seen table."""
+        self.bloom_table.overwrite(self._shards_for(self.table.read(spark)))
+
+    def _append_bloom(self, new_fps: DataFrame) -> None:
+        """Incremental: append shards covering only the new fps; the probe
+        ORs a bucket's shards together (compaction merges them)."""
+        self.bloom_table.append(self._shards_for(new_fps))

@@ -1,0 +1,279 @@
+"""Pure-Python reference crawl simulator — the golden oracle.
+
+Implements the surveyed Heritrix laws as a tiny event-driven, per-queue
+serial crawler (single-ToeThread semantics, SURVEY §7.3) over the synthetic
+span web. The Spark engine (:mod:`heritrix3_spark.crawler`) must reproduce
+its ``(round, class_key, uri)`` sequence, ordinals, dispositions, and final
+url_seen set exactly (BASELINE "frontier-ordering/URL-seen exact-match").
+
+Deterministic macro-batch round contract shared by both implementations:
+
+1. Round r at virtual clock T: queues that are non-empty, not retired and
+   have ``wake_time <= T`` (and, when a total budget is set, expenditure
+   below it) each emit their top-k URIs in insert-key order
+   ``(sched_directive, min(precedence,127), ordinal)``
+   (BdbMultipleWorkQueues.java:422-438).
+2. Fetch: synthetic web lookup; present -> 200, missing -> 404; fixed
+   fetch_duration_ms. Within a round a queue's m-th fetch begins at
+   ``T + m*(duration+politeness)`` (serial per host; k=1 is exact Heritrix
+   parity, k>1 a documented throughput mode).
+3. Extract: outlinks from spans in offset order; error pages (<200 or
+   >=400) contribute none (CandidatesProcessor.java:236-260).
+4. Scope -> prepare (directive/canonical/classKey/cost/precedence laws).
+5. Dedup in discovery order ``(parent_ordinal, outlink_index)``; novel URIs
+   get ordinals ``next_ordinal++`` in that order and enter their queues;
+   fps of scheduled URIs enter url_seen (schedule -> add,
+   WorkQueueFrontier.java:347-379).
+6. Disposition: success/disregard/retry per status laws; budget expend
+   (cost per final disposition / retries except DEFERRED; error penalty);
+   politeness snooze sets queue wake_time (DispositionProcessor law);
+   total-budget breach retires the queue (WorkQueueFrontier.java:927-1029).
+7. Clock advance: T' = min wake_time over non-empty live queues (> T).
+
+All laws cite the reference files in SURVEY.md §2.5-§2.8.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from heritrix3_spark.fp import create_key
+from heritrix3_spark.functions.canonicalize import canonicalize
+from heritrix3_spark.functions.surt import surt, surt_authority_class_key
+
+# scheduling constants
+HIGHEST, HIGH, MEDIUM, NORMAL = 0, 1, 2, 3
+
+
+@dataclass
+class SimConfig:
+    k_per_host: int = 1
+    max_hops: int = 20
+    fetch_duration_ms: int = 100
+    delay_factor: float = 5.0
+    min_delay_ms: int = 3000
+    max_delay_ms: int = 30000
+    session_budget: int = 3000
+    error_penalty: int = 100
+    total_budget: int = -1
+    max_rounds: int = 10_000
+    preference_embed_hops: int = 1
+
+
+@dataclass
+class SimURI:
+    uri: str
+    canonical: str
+    class_key: str
+    hops_path: str
+    via: str | None
+    is_seed: bool
+    directive: int
+    precedence: int
+    cost: int
+    ordinal: int
+
+
+@dataclass
+class Queue:
+    pending: list = field(default_factory=list)  # of SimURI
+    wake_time: int = 0
+    total_expenditure: int = 0
+    retired: bool = False
+
+
+def _sort_key(u: SimURI):
+    return (u.directive, min(u.precedence, 127), u.ordinal & ((1 << 48) - 1))
+
+
+def _scope_ok(uri: str, hops_path: str, prefixes: list[str], max_hops: int) -> bool:
+    """Default-scope fold (see operators/scope.py for rule citations)."""
+    decision = -1  # RejectDecideRule
+    s = surt(uri)
+    if any(s.startswith(p) for p in prefixes):
+        decision = 1
+    if len(hops_path) > max_hops:
+        decision = -1
+    # transclusion
+    tail = hops_path
+    for idx in range(len(hops_path) - 1, -1, -1):
+        if hops_path[idx] in "LSM":
+            tail = hops_path[idx + 1 :]
+            break
+    else:
+        tail = hops_path
+    nonref = sum(1 for c in tail if c != "R")
+    spec = sum(1 for c in tail if c == "X")
+    if len(tail) > 0 and spec <= 1 and nonref <= 2:
+        decision = 1
+    import re as _re
+
+    if _re.match(r"^.*?/(.*?/)\1{2,}.*$", uri):
+        decision = -1
+    slashes = uri.count("/") - (2 if _re.match(r"^[a-zA-Z][\w+\-.]*://", uri) else 0)
+    if slashes > 20:
+        decision = -1
+    if hops_path.endswith("P"):
+        decision = 1
+    scheme = uri.split(":", 1)[0].lower()
+    if scheme not in ("http", "https", "ftp", "dns", "whois", "sftp"):
+        decision = -1
+    return decision == 1
+
+
+def _directive(hops_path: str, current: int, pref_embed_hops: int) -> int:
+    if hops_path and hops_path[-1] == "R":
+        return MEDIUM  # preferenceDepthHops default -1
+    trans = 0
+    for c in reversed(hops_path):
+        if c == "L":
+            break
+        trans += 1
+    if pref_embed_hops > 0 and 0 < trans <= pref_embed_hops and current == NORMAL:
+        return MEDIUM
+    return current
+
+
+def simulate(
+    web: dict[str, list[tuple]],
+    seed_lines: list[str],
+    config: SimConfig | None = None,
+):
+    """Run the golden crawl.
+
+    ``web``: {url: [(kind, text, media_ref, offset), ...]}.
+    Returns (log, seen_fps): log rows are dicts with round/class_key/uri/
+    canonical/ordinal/disposition/fetch_status.
+    """
+    import re as _re
+
+    cfg = config or SimConfig()
+    queues: dict[str, Queue] = {}
+    seen: set[int] = set()
+    log: list[dict] = []
+    next_ordinal = 1
+
+    # --- seeds (TextSeedModule law) -----------------------------------
+    seed_uris: list[str] = []
+    for line in seed_lines:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if not _re.match(r"^[a-zA-Z][\w+\-]+:", line):
+            line = "http://" + line
+        seed_uris.append(line)
+    prefixes = []
+    for u in seed_uris:
+        s = surt(canonicalize(u))
+        i = s.find(")")
+        if i != -1:
+            p = s[: i + 1]
+            if p.startswith("https://"):
+                p = "http://" + p[len("https://") :]
+            if p not in prefixes:
+                prefixes.append(p)
+
+    def schedule(uri, hops_path, via, is_seed, directive):
+        nonlocal next_ordinal
+        canonical = canonicalize(uri)
+        fp = create_key(canonical)
+        if fp in seen:
+            return
+        seen.add(fp)
+        ck = surt_authority_class_key(canonical, hops_path, via)
+        cost = 1  # UnitCostAssignmentPolicy
+        s = SimURI(
+            uri=uri,
+            canonical=canonical,
+            class_key=ck,
+            hops_path=hops_path,
+            via=via,
+            is_seed=is_seed,
+            directive=directive,
+            precedence=cost,  # CostUriPrecedencePolicy
+            cost=cost,
+            ordinal=next_ordinal,
+        )
+        next_ordinal += 1
+        queues.setdefault(ck, Queue()).pending.append(s)
+
+    for u in seed_uris:
+        schedule(u, "", None, True, MEDIUM)
+
+    # --- rounds ---------------------------------------------------------
+    T = 0
+    for rnd in range(cfg.max_rounds):
+        live = {
+            ck: q
+            for ck, q in queues.items()
+            if q.pending and not q.retired
+        }
+        if not live:
+            break
+        eligible = {ck: q for ck, q in live.items() if q.wake_time <= T}
+        if not eligible:
+            T = max(T + 1, min(q.wake_time for q in live.values()))
+            eligible = {ck: q for ck, q in live.items() if q.wake_time <= T}
+        candidates = []  # (parent_ordinal, outlink_index, url, hops, via)
+        for ck in sorted(eligible):
+            q = eligible[ck]
+            q.pending.sort(key=_sort_key)
+            take = q.pending[: cfg.k_per_host]
+            q.pending = q.pending[len(take) :]
+            t_host = T
+            for m, curi in enumerate(take):
+                status = 200 if curi.canonical in web else 404
+                duration = cfg.fetch_duration_ms
+                delay = int(cfg.delay_factor * duration)
+                delay = max(delay, cfg.min_delay_ms)
+                delay = min(delay, cfg.max_delay_ms)
+                t_host += duration + delay
+                q.total_expenditure += curi.cost
+                log.append(
+                    dict(
+                        round=rnd,
+                        class_key=ck,
+                        uri=curi.uri,
+                        canonical=curi.canonical,
+                        ordinal=curi.ordinal,
+                        fetch_status=status,
+                        disposition="success",
+                    )
+                )
+                if 200 <= status < 400:
+                    for kind, text, ref, offset in web[curi.canonical]:
+                        if kind not in ("link", "img", "script", "css", "media"):
+                            continue
+                        if ref is None or ref.startswith("data:"):
+                            continue
+                        hop = "L" if kind == "link" else "E"
+                        url = _resolve(curi.canonical, ref)
+                        candidates.append(
+                            (curi.ordinal, offset, url, curi.hops_path + hop, curi.uri)
+                        )
+            q.wake_time = t_host
+            if cfg.total_budget >= 0 and q.total_expenditure >= cfg.total_budget:
+                q.retired = True  # isOverTotalBudget -> retireQueue
+        # candidate processing in discovery order
+        candidates.sort(key=lambda c: (c[0], c[1]))
+        for parent_ord, idx, url, hops, via in candidates:
+            if not _scope_ok(url, hops, prefixes, cfg.max_hops):
+                continue
+            directive = _directive(hops, NORMAL, cfg.preference_embed_hops)
+            schedule(url, hops, via, False, directive)
+
+    return log, seen
+
+
+def _resolve(base: str, ref: str) -> str:
+    import re as _re
+
+    if _re.match(r"^[a-zA-Z][\w+\-.]*:", ref):
+        return ref
+    m = _re.match(r"^([^:/?#]+://[^/?#]*)([^?#]*)", base)
+    origin, path = m.group(1), m.group(2)
+    if ref.startswith("/"):
+        return origin + ref
+    d = path.rfind("/")
+    dir_part = path[: d + 1] if d >= 0 else "/"
+    return origin + dir_part + ref

@@ -63,7 +63,14 @@ class SnapshotTable:
         return self.latest_version() > 0
 
     def _commit(self, version: int, meta: dict | None = None) -> None:
+        """Atomic pointer swap. ``meta=None`` = pure pointer rollback
+        (time-travel): the version's sidecar meta is preserved; otherwise
+        the sidecar is (re)written for the new snapshot content."""
         payload = {"version": version, "committed_at": time.time(), **(meta or {})}
+        sidecar = os.path.join(self.dir, f"_meta_v{version:08d}.json")
+        if meta is not None or not os.path.exists(sidecar):
+            with open(sidecar, "w") as f:
+                json.dump(payload, f)
         fd, tmp = tempfile.mkstemp(dir=self.dir, prefix="_ptr_")
         with os.fdopen(fd, "w") as f:
             json.dump(payload, f)
@@ -74,7 +81,8 @@ class SnapshotTable:
         v = self.latest_version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"table {self.name} has no snapshots")
-        return spark.read.parquet(self.snapshot_path(v))
+        chain = self._parents(v)
+        return spark.read.parquet(*[self.snapshot_path(x) for x in chain])
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> SnapshotInfo:
         v = self.latest_version() + 1
@@ -83,26 +91,49 @@ class SnapshotTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        self._commit(v)
+        self._commit(v, {"mode": "overwrite"})
         return SnapshotInfo(v, path)
 
     def append(self, df: DataFrame) -> SnapshotInfo:
-        """Append = write a delta dir inside a new snapshot that also
-        references prior data via union-on-read.
+        """Fast append (Iceberg manifest-append analog): the new snapshot
+        dir holds only the delta; the pointer records the parent chain and
+        ``read`` unions all delta dirs since the last overwrite. O(delta)
+        write cost per round instead of O(table)."""
+        v = self.latest_version() + 1
+        path = self.snapshot_path(v)
+        df.write.mode("overwrite").parquet(path)
+        parents = self._parents(self.latest_version())
+        self._commit(v, {"mode": "append", "parents": parents})
+        return SnapshotInfo(v, path)
 
-        For the journal/metrics tables (append-only, small per round) we
-        keep it simple: materialize old ∪ new. At cluster scale this is an
-        Iceberg fast-append (manifest-only); here volumes are tiny.
-        """
-        spark = df.sparkSession
-        if self.exists():
-            df = self.read(spark).unionByName(df, allowMissingColumns=True)
-        return self.overwrite(df)
+    def _parents(self, version: int) -> list[int]:
+        """Chain of snapshot versions contributing to ``version``."""
+        if version == 0:
+            return []
+        meta = self._meta(version)
+        if meta.get("mode") == "append":
+            return meta.get("parents", []) + [version]
+        return [version]
+
+    def _meta(self, version: int) -> dict:
+        # pointer file records only latest; per-version meta rides in a
+        # sidecar written at commit time
+        p = os.path.join(self.dir, f"_meta_v{version:08d}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
 
     def prune(self, keep_last: int = 3) -> None:
-        """Drop snapshots older than the last ``keep_last`` (journal GC)."""
+        """Drop snapshots older than the last ``keep_last`` (journal GC).
+
+        Never drops a dir still referenced by the latest append chain.
+        """
         latest = self.latest_version()
+        live = set(self._parents(latest))
         for v in range(1, max(1, latest - keep_last + 1)):
+            if v in live:
+                continue
             p = self.snapshot_path(v)
             if os.path.exists(p):
                 shutil.rmtree(p, ignore_errors=True)
