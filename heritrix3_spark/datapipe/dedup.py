@@ -1,0 +1,250 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes:
+* exact — hash-groupBy on a 64-bit content fingerprint: one shuffle, AQE
+  handles skew. The representative is min(doc_id) (deterministic).
+* MinHash+LSH — shingle -> minhash signature (numpy, one Arrow batch pass)
+  -> band buckets -> bucket-join -> candidate pairs -> exact Jaccard verify.
+  Only bucket-mates ever pair: no O(n^2) crossJoin at any point.
+* SimHash — 64-bit signature; near-dup candidates share >=1 of 4 exact
+  16-bit bands (guarantees recall for Hamming distance <= 3).
+* cluster representative — iterative min-propagation over candidate pairs
+  (connected components by halving), bounded iterations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# deterministic MinHash parameters
+_MERSENNE = (1 << 61) - 1
+_N_HASHES = 64
+_N_BANDS = 16  # 16 bands x 4 rows
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+# fixed odd multipliers/offsets (derived from a deterministic LCG — public
+# standard Kirsch-Mitzenmacher style parameterization)
+_A = np.array(
+    [(2654435761 * (2 * i + 1)) & _MERSENNE or 1 for i in range(_N_HASHES)],
+    dtype=np.uint64,
+)
+_B = np.array([(40503 * (i + 1) ** 2 + 7) & _MERSENNE for i in range(_N_HASHES)], dtype=np.uint64)
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    """Hashes of k-word shingles (word n-grams) of normalized text."""
+    words = text.lower().split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    if not grams:
+        return np.zeros(1, dtype=np.uint64)
+    return np.array([hash_str64(g) for g in grams], dtype=np.uint64)
+
+
+def hash_str64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a string hash (no PYTHONHASHSEED issues)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_signature_udf(text: pd.Series) -> pd.Series:
+    """64-permutation MinHash signature per document (vectorized inner loop)."""
+    out = []
+    for t in text.fillna(""):
+        sh = _shingles(t)
+        # (n_hashes, n_shingles) via broadcasting, min over shingles
+        vals = (sh[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERSENNE)
+        out.append(vals.min(axis=1).astype(np.int64).tolist())
+    return pd.Series(out)
+
+
+@pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over word hashes (bit-vote, vectorized)."""
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text.fillna("")):
+        words = t.lower().split()
+        if not words:
+            continue
+        hs = np.array([hash_str64(w) for w in words], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(words)
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= 1 << b
+        out[i] = np.int64(np.uint64(sig).astype(np.int64))
+    return pd.Series(out)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by normalized-content fingerprint; keeps min(id).
+
+    Returns (content_fp, keep_id, dup_count).
+    """
+    from heritrix3_spark.datapipe.text import doc_fingerprint_udf
+
+    return (
+        df.select(F.col(id_col).alias("id"), doc_fingerprint_udf(F.col(text_col)).alias("content_fp"))
+        .groupBy("content_fp")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, band_id, band_hash) — LSH bucket keys, one row per band."""
+    sig = df.select(
+        F.col(id_col).alias("id"), minhash_signature_udf(F.col(text_col)).alias("sig")
+    )
+    bands = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", i * _ROWS_PER_BAND + j + 1)
+                            for j in range(_ROWS_PER_BAND)
+                        ]
+                    )
+                    for i in range(_N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    return bands
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing >= 1 LSH band bucket."""
+    bands = minhash_bands(df, id_col, text_col)
+    left = bands.select("band_id", "band_hash", F.col("id").alias("a"))
+    right = bands.select("band_id", "band_hash", F.col("id").alias("b"))
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_clusters(
+    df: DataFrame, id_col: str, text_col: str, max_iter: int = 10
+) -> DataFrame:
+    """(id, cluster_id): connected components over LSH candidate pairs via
+    iterative min-label propagation (converges in <= diameter rounds;
+    near-dup clusters are tiny, so 2-3 rounds in practice)."""
+    pairs = minhash_candidate_pairs(df, id_col, text_col).persist()
+    labels = df.select(F.col(id_col).alias("id")).withColumn("cluster_id", F.col("id"))
+    sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    pairs.unpersist()
+    return labels
+
+
+def simhash_dedup(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash banding + exact Hamming verify.
+
+    4 bands of 16 bits: any pair within Hamming distance 3 shares at least
+    one exact band (pigeonhole), so banding has full recall for d<=3.
+    """
+    sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
+    bands = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    left = bands.select("band_id", "band_val", F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    right = bands.select("band_id", "band_val", F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    cand = (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.filter(hamming <= max_hamming).select("a", "b", hamming.alias("hamming"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over LSH-pruned candidates.
+
+    |A ∩ B| via exploded distinct n-grams join-count; |A ∪ B| = |A|+|B|-∩.
+    Only candidate pairs from MinHash banding are verified — the exact
+    computation never goes quadratic.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.filter(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.greatest(F.size(F.split(F.lower(F.col(text_col)), r"\s+")) - n, F.lit(0)),
+                        ),
+                        lambda i: F.slice(F.split(F.lower(F.col(text_col)), r"\s+"), i + 1, n),
+                    ),
+                    lambda arr: F.size(arr) >= n,
+                ),
+                lambda arr: F.array_join(arr, " "),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    cand = minhash_candidate_pairs(df, id_col, text_col)
+    ga = grams.select(F.col("id").alias("a"), "gram")
+    gb = grams.select(F.col("id").alias("b"), "gram")
+    inter = (
+        cand.join(ga, "a").join(gb, ["b", "gram"]).groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("n_grams").alias("nb"))
+    jac = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")

@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exactness baseline: numpy matmul per
+  Arrow batch (mapInPandas), per-partition top-k, then a global window
+  top-k. No crossJoin is ever materialized; driver sees only Q×k rows.
+* LSH-bucketed ANN — random-hyperplane signatures (deterministic planes):
+  candidates share the query's bucket (multi-probe on 1-bit flips), exact
+  re-scoring inside buckets only. The scale path: bucket cardinality
+  ~N/2^bits, probes bounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_SCORE_SCHEMA = StructType(
+    [
+        StructField("query_id", IntegerType(), False),
+        StructField("vec_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    Returns (query_id, vec_id, score, rank), rank 1..k. Ties broken by
+    vec_id (deterministic).
+    """
+    qm = _normalize(np.array(queries, dtype=np.float64))
+    nq = qm.shape[0]
+    spark = embeddings.sparkSession
+    bq = spark.sparkContext.broadcast(qm)
+
+    def score_partition(pdf_iter):
+        q = bq.value
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = _normalize(mat)
+            scores = q @ mat.T  # (nq, batch)
+            take = min(k, scores.shape[1])
+            # per-batch top-k prune before shuffle
+            idx = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+            rows = {
+                "query_id": np.repeat(np.arange(nq, dtype=np.int32), take),
+                "vec_id": ids[idx].ravel(),
+                "score": np.take_along_axis(scores, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    partial = embeddings.select(id_col, vec_col).mapInPandas(
+        score_partition, schema=_SCORE_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def _planes(dim: int, bits: int) -> np.ndarray:
+    """Deterministic random hyperplanes (fixed-seed generator)."""
+    rng = np.random.RandomState(42)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_bucket_col_data(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (mat @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))[None, :]
+    return (signs * weights).sum(axis=1).astype(np.int64)
+
+
+def add_lsh_buckets(
+    embeddings: DataFrame, dim: int, bits: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach a random-hyperplane LSH bucket id (column ``lsh_bucket``)."""
+    planes = _planes(dim, bits)
+    spark = embeddings.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+    out_schema = StructType(embeddings.schema.fields + [StructField("lsh_bucket", LongType())])
+
+    def bucketize(pdf_iter):
+        p = bp.value
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            pdf = pdf.copy()
+            pdf["lsh_bucket"] = lsh_bucket_col_data(mat, p)
+            yield pdf
+
+    return embeddings.mapInPandas(bucketize, schema=out_schema)
+
+
+def lsh_cosine_topk(
+    embeddings_with_buckets: DataFrame,
+    queries: list[list[float]],
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: score only rows in the query's LSH bucket (+ 1-bit-flip
+    probe buckets). Recall < 1 by design; rank/ties deterministic."""
+    planes = _planes(dim, bits)
+    qm = _normalize(np.array(queries, dtype=np.float64))
+    qb = lsh_bucket_col_data(qm, planes)
+    probe_rows = []
+    for qid, b in enumerate(qb):
+        probe_rows.append((qid, int(b)))
+        if multiprobe > 0:
+            for bit in range(bits):
+                probe_rows.append((qid, int(b) ^ (1 << bit)))
+    spark = embeddings_with_buckets.sparkSession
+    probes = spark.createDataFrame(probe_rows, ["query_id", "lsh_bucket"]).distinct()
+    cand = embeddings_with_buckets.join(F.broadcast(probes), "lsh_bucket")
+    bq = spark.sparkContext.broadcast(qm)
+
+    def score(pdf_iter):
+        q = bq.value
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            qids = pdf["query_id"].to_numpy()
+            scores = np.einsum("ij,ij->i", q[qids], mat)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids.astype(np.int32),
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "score": scores,
+                }
+            )
+
+    scored = cand.select("query_id", id_col, vec_col).mapInPandas(score, schema=_SCORE_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def cosine_topk_sql_expr(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-query exact top-k using only built-in expressions
+    (zip_with + aggregate dot product) — the UDF-free reference path,
+    DuckDB-oracle-friendly."""
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), qarr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    qnorm = float(np.linalg.norm(np.array(query, dtype=np.float64))) or 1.0
+    score = F.when(norm_v > 0, dot / (norm_v * F.lit(qnorm))).otherwise(F.lit(0.0))
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        embeddings.select(F.col(id_col), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

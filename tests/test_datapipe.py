@@ -1,0 +1,168 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from heritrix3_spark.datapipe import dedup as DD
+from heritrix3_spark.datapipe import multimodal as MM
+from heritrix3_spark.datapipe import similarity as SIM
+from heritrix3_spark.datapipe import text as TX
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world",), ("  one  two   three ",), ("",), ("punct, done!",)], ["text"]
+    )
+    got = df.select(
+        TX.token_count_col(F.col("text")).alias("n"),
+        TX.bpe_ish_token_count_col(F.col("text")).alias("b"),
+    ).collect()
+    assert [r.n for r in got] == [2, 3, 0, 2]
+    assert [r.b for r in got] == [2, 3, 0, 4]  # punct, done! -> punct , done !
+
+
+def test_quality_and_langid(spark, docs):
+    out = docs.select(
+        "doc_id",
+        "lang",
+        TX.quality_score_col(F.col("text")).alias("q"),
+        TX.lang_id_col(F.col("text")).alias("lang_guess"),
+    )
+    rows = out.collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+    langs = {r.lang_guess for r in rows}
+    assert langs <= {"en", "de", "fr", "es", "und"}
+
+
+def test_doc_fingerprint_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", "Hello  World"), ("b", "hello world"), ("c", "different text")], ["id", "text"]
+    )
+    got = {r.id: r.fp for r in df.select("id", TX.doc_fingerprint_udf(F.col("text")).alias("fp")).collect()}
+    assert got["a"] == got["b"]  # normalization collapses case/whitespace
+    assert got["a"] != got["c"]
+
+
+def test_exact_dedup(spark):
+    rows = [(i, f"unique document number {i} with content") for i in range(20)]
+    rows += [(100 + i, "a duplicated document body") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = DD.exact_dedup(df, "doc_id", "text")
+    assert out.count() == 21
+    dup = out.filter(F.col("dup_count") == 5).collect()
+    assert len(dup) == 1 and dup[0].keep_id == 100
+
+
+def _near_dup_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (1, base),
+        (2, base + "with one tiny suffix change"),  # near-dup of 1
+        (3, "completely different content about spark dataframes and shuffles " * 6),
+        (4, base),  # exact dup of 1
+        (5, "another unrelated story concerning robots and crawling the web " * 6),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_candidates_and_clusters(spark):
+    df = _near_dup_corpus(spark)
+    pairs = {(r.a, r.b) for r in DD.minhash_candidate_pairs(df, "doc_id", "text").collect()}
+    assert (1, 4) in pairs  # exact dup always caught
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup shares a band
+    assert (3, 5) not in pairs  # unrelated docs don't pair
+    labels = {r.id: r.cluster_id for r in DD.minhash_dedup_clusters(df, "doc_id", "text").collect()}
+    assert labels[1] == labels[4] == labels[2] == 1
+    assert labels[3] == 3 and labels[5] == 5
+
+
+def test_simhash_near_dups(spark):
+    df = _near_dup_corpus(spark)
+    pairs = {(r.a, r.b): r.hamming for r in DD.simhash_dedup(df, "doc_id", "text", max_hamming=3).collect()}
+    assert pairs[(1, 4)] == 0  # identical
+    assert all(h <= 3 for h in pairs.values())
+    assert (3, 5) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    df = _near_dup_corpus(spark)
+    out = {(r.a, r.b): r.jaccard for r in DD.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()}
+    assert out[(1, 4)] == 1.0
+    assert (1, 2) in out and 0.5 <= out[(1, 2)] < 1.0
+
+
+def test_cosine_topk_exact(spark, emb):
+    pdf = emb.limit(500).toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    queries = [mat[3].tolist(), mat[77].tolist()]
+    df = spark.createDataFrame(pdf)
+    got = SIM.cosine_topk(df, queries, k=5)
+    res = {(r.query_id, r.rank): r.vec_id for r in got.collect()}
+    # numpy ground truth
+    qm = mat[[3, 77]] / np.linalg.norm(mat[[3, 77]], axis=1, keepdims=True)
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    scores = qm @ nm.T
+    for qi in range(2):
+        order = sorted(range(len(ids)), key=lambda i: (-scores[qi, i], ids[i]))[:5]
+        for rank, i in enumerate(order, start=1):
+            assert res[(qi, rank)] == ids[i], (qi, rank)
+    # self-match is rank 1 with score ~1
+    assert res[(0, 1)] == ids[3] and res[(1, 1)] == ids[77]
+
+
+def test_lsh_topk_finds_self(spark, emb):
+    pdf = emb.limit(300).toPandas()
+    dim = len(pdf["embedding"].iloc[0])
+    df = spark.createDataFrame(pdf)
+    bucketed = SIM.add_lsh_buckets(df, dim, bits=6)
+    q = [pdf["embedding"].iloc[10], pdf["embedding"].iloc[20]]
+    got = SIM.lsh_cosine_topk(bucketed, [list(v) for v in q], dim, k=3, bits=6)
+    top1 = {r.query_id: r.vec_id for r in got.filter(F.col("rank") == 1).collect()}
+    assert top1[0] == pdf["vec_id"].iloc[10]
+    assert top1[1] == pdf["vec_id"].iloc[20]
+
+
+def test_cosine_topk_sql_expr_matches_bruteforce(spark, emb):
+    pdf = emb.limit(200).toPandas()
+    df = spark.createDataFrame(pdf)
+    q = list(pdf["embedding"].iloc[5])
+    a = SIM.cosine_topk(df, [q], k=5)
+    b = SIM.cosine_topk_sql_expr(df, q, k=5)
+    ra = [r.vec_id for r in a.orderBy("rank").collect()]
+    rb = [r.vec_id for r in b.orderBy("rank").collect()]
+    assert ra == rb
+
+
+def test_multimodal_plumbing(spark):
+    media = MM.synth_media_df(spark, n=30)
+    feats = MM.fake_feature_extract(media).collect()
+    assert len(feats) == 30
+    assert all(len(r.feature) == MM.FEATURE_DIM for r in feats)
+    # deterministic across runs
+    feats2 = {r.media_id: r.feature for r in MM.fake_feature_extract(media).collect()}
+    for r in feats:
+        assert feats2[r.media_id] == r.feature
+    # decode boundary is a marked stub
+    with pytest.raises(Exception) as e:
+        MM.decode_media(media).count()
+    assert "NotImplementedError" in str(e.value) or isinstance(e.value, NotImplementedError)
+    # frame sampling plan fan-out
+    plan = MM.frame_sample_plan(media, every_ms=500)
+    assert plan.count() > 0
+    assert plan.groupBy("media_id").count().agg(F.max("count")).collect()[0][0] >= 1
