@@ -122,28 +122,49 @@ def canonicalize(url: str) -> str:
 # ---------------------------------------------------------------------------
 # Spark Column expressions (JVM regex, whole-stage codegen, zero Python)
 # ---------------------------------------------------------------------------
-def _strip_col(col: Column, pattern: str) -> Column:
+def _strip_col(col: Column, pattern: str, guard: Column | None = None) -> Column:
     # regexp_replace with an anchored full-match pattern replaces the whole
     # string with $1$2; non-participating optional groups substitute "".
-    return F.regexp_replace(col, "(?i)" + pattern, "$1$2")
+    # ``guard`` is a cheap containment pre-filter: the `^(.+)...$` session
+    # patterns backtrack O(len²) on every NON-matching URL, so skipping rows
+    # that can't match is a ~10× throughput win on the hot path.
+    replaced = F.regexp_replace(col, "(?i)" + pattern, "$1$2")
+    if guard is None:
+        return replaced
+    return F.when(guard, replaced).otherwise(col)
 
 
 def canonical_col(col: Column) -> Column:
     """Default canonicalization chain as one JVM-side Column expression."""
     c = F.lower(col)
-    c = _strip_col(c, RE_USERINFO)
-    c = _strip_col(c, RE_WWWN)
-    c = _strip_col(c, RE_SESSIONID_BASE)
-    c = _strip_col(c, RE_SESSIONID_SID)
-    c = _strip_col(c, RE_SESSIONID_ASP)
-    c = _strip_col(c, RE_CFID)
+    # guards reference the already-lowercased value, so plain contains() is
+    # equivalent to the patterns' (?i)
+    c = _strip_col(c, RE_USERINFO, F.contains(c, F.lit("@")))
+    c = _strip_col(c, RE_WWWN, F.contains(c, F.lit("www")))
+    c = _strip_col(
+        c,
+        RE_SESSIONID_BASE,
+        F.contains(c, F.lit("jsessionid=")) | F.contains(c, F.lit("phpsessid=")),
+    )
+    c = _strip_col(c, RE_SESSIONID_SID, F.contains(c, F.lit("sid=")))
+    c = _strip_col(c, RE_SESSIONID_ASP, F.contains(c, F.lit("aspsessionid")))
+    c = _strip_col(c, RE_CFID, F.contains(c, F.lit("cfid=")))
     # FixupQueryString: exact if/else-if branching over last-'?' position.
+    # The branches reference the stripped value many times; binding it to a
+    # lambda variable (via transform over a 1-element array) evaluates the
+    # whole upstream strip chain ONCE per row instead of ~8 times — a ~5×
+    # throughput difference on the schedule hot path.
+    return F.element_at(F.transform(F.array(c), _fixup_query_string_expr), 1)
+
+
+def _fixup_query_string_expr(c: Column) -> Column:
+    """FixupQueryString branching over an already-bound value ``c``."""
     length = F.length(c)
     rq = F.locate("?", F.reverse(c))  # distance of last '?' from end (0 = none)
     qpos = F.when(rq > 0, length - rq + 1).otherwise(F.lit(0))
     char_after = F.substring(c, (qpos + 1).cast("int"), 1)
     last_char = F.substring(c, (-1), 1)
-    c = (
+    return (
         F.when(qpos <= 1, c)
         # trailing '?': strip it
         .when(qpos == length, F.substring(c, 1, (length - 1).cast("int")))
@@ -161,7 +182,6 @@ def canonical_col(col: Column) -> Column:
         .when(last_char == "&", F.substring(c, 1, (length - 1).cast("int")))
         .otherwise(c)
     )
-    return c
 
 
 def strip_extra_slashes_col(col: Column) -> Column:

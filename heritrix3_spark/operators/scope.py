@@ -77,9 +77,17 @@ def transclusion(
 def pathological_path(uri: Column, max_repetitions: int = 2) -> Column:
     """PathologicalPathDecideRule.java:60-78: REJECT when any path segment
     repeats consecutively more than maxRepetitions times
-    (regex ``.*?/(.*?/)\\1{N,}.*``)."""
+    (regex ``.*?/(.*?/)\\1{N,}.*``).
+
+    The backreference regex backtracks heavily, so it only runs on URIs
+    with enough slashes to possibly contain maxRepetitions+1 consecutive
+    repeats (cheap count guard — a big win at 10^10 URLs where the rule
+    almost never fires).
+    """
     pat = r".*?/(.*?/)\1{" + str(max_repetitions) + r",}.*"
-    return F.when(uri.rlike("^" + pat + "$"), F.lit(REJECT)).otherwise(F.lit(NONE))
+    slashes = F.length(uri) - F.length(F.regexp_replace(uri, "/", ""))
+    plausible = slashes >= (max_repetitions + 2)
+    return F.when(plausible & uri.rlike("^" + pat + "$"), F.lit(REJECT)).otherwise(F.lit(NONE))
 
 
 def too_many_path_segments(uri: Column, max_segments: int = 20) -> Column:
