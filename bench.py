@@ -108,25 +108,39 @@ def bench_schedule_pipeline(spark, state_dir: str) -> dict:
     }
 
 
-def bench_crawl_rounds(spark, state_dir: str, rounds: int = 5) -> dict:
-    """Engine rounds on the bench web (hot host exercises salting/AQE)."""
-    web = FX.synth_web_df(spark, hosts=100, pages=40, hot_host=0, hot_factor=20, num_partitions=CPUS)
-    eng = CrawlEngine(
-        spark,
-        state_dir,
-        web,
-        CrawlConfig(num_buckets=max(CPUS, 16), ordinal_partitions=CPUS, k_per_host=8, bloom=True),
-    )
-    t0 = time.time()
-    eng.bootstrap(FX.seed_lines(100))
-    done = 0
-    for _ in range(rounds):
-        if not eng.run_round():
-            break
-        done += 1
-    elapsed = time.time() - t0
-    fetched = eng.crawl_log().count()
-    scheduled = eng.seen_count()
+def bench_crawl_rounds(spark, state_dir: str, rounds: int = 3) -> dict:
+    """Engine rounds on the bench web (hot host exercises salting/AQE).
+
+    Rounds at sandbox scale are fixed-overhead-bound (each round is a full
+    DAG of ~10 jobs); wide rounds (many hosts × k) amortize it — which is
+    exactly the 1000-executor regime, where a round covers millions of
+    hosts. Shuffle partitions drop to 8 for this section (tiny per-round
+    volumes), restored after.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        web = FX.synth_web_df(
+            spark, hosts=400, pages=40, hot_host=0, hot_factor=20, num_partitions=CPUS
+        )
+        eng = CrawlEngine(
+            spark,
+            state_dir,
+            web,
+            CrawlConfig(num_buckets=16, ordinal_partitions=1, k_per_host=16, bloom=True),
+        )
+        t0 = time.time()
+        eng.bootstrap(FX.seed_lines(400))
+        done = 0
+        for _ in range(rounds):
+            if not eng.run_round():
+                break
+            done += 1
+        elapsed = time.time() - t0
+        fetched = eng.crawl_log().count()
+        scheduled = eng.seen_count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return {
         "rounds": done,
         "fetched": fetched,

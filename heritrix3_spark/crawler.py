@@ -54,6 +54,22 @@ from heritrix3_spark.operators.urlseen import UrlSeen, fp_udf
 from heritrix3_spark.sources.seeds import seeds_from_lines
 from heritrix3_spark.storage import SnapshotCatalog
 
+_TIMING = bool(__import__("os").environ.get("H3S_TIMING"))
+
+
+class _Timer:
+    def __init__(self):
+        import time as _t
+
+        self._t = _t
+        self.last = _t.time()
+
+    def mark(self, label: str) -> None:
+        if _TIMING:
+            now = self._t.time()
+            print(f"    [h3s] {label}: {now - self.last:.2f}s", flush=True)
+            self.last = now
+
 HOST_STATE_SCHEMA = StructType(
     [
         StructField("class_key", StringType(), False),
@@ -206,6 +222,18 @@ class CrawlEngine:
         ordinal serial (AbstractFrontier.java:821-825) deterministically.
         """
         parts = max(1, self.cfg.ordinal_partitions)
+        if parts == 1:
+            # small-round fast path: one window over one partition, no
+            # boundary-sampling pass, no offsets join. Use when per-round
+            # candidate volume is bounded (the 10^10 path uses parts > 1).
+            w1 = Window.orderBy(*order_cols)
+            out = df.withColumn(
+                "ordinal", (F.lit(self.next_ordinal) + F.row_number().over(w1) - 1).cast("long")
+            )
+            out = out.persist()
+            self._last_novel_count = out.count()
+            self.next_ordinal += self._last_novel_count
+            return out
         ranged = (
             df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
             .sortWithinPartitions(*order_cols)
@@ -237,6 +265,7 @@ class CrawlEngine:
             .drop("__pid", "__off")
         )
         self.next_ordinal += acc
+        self._last_novel_count = acc
         return out
 
     # ------------------------------------------------------------------
@@ -245,6 +274,7 @@ class CrawlEngine:
     def run_round(self) -> bool:
         """Execute one macro-batch round. Returns False when crawl is done."""
         cfg = self.cfg
+        timer = _Timer()
         frontier = self.frontier_t.read(self.spark)
         hosts = self.host_t.read(self.spark)
 
@@ -258,6 +288,7 @@ class CrawlEngine:
         ).collect()[0]
         if not live_stats.n_live:
             return False
+        timer.mark("eligibility-collect")
         if live_stats.n_eligible == 0:
             self.clock = max(self.clock + 1, live_stats.min_wake)
 
@@ -280,6 +311,7 @@ class CrawlEngine:
             "fetch_duration", F.lit(cfg.fetch_duration_ms).cast("long")
         )
 
+        timer.mark("fetch-plan")
         # disposition law columns
         fetched = (
             fetched.withColumn("__attempts", F.col("fetch_attempts") + 1)
@@ -364,6 +396,7 @@ class CrawlEngine:
             "cost", "ordinal", F.lit(0).alias("fetch_attempts"),
             F.lit(False).alias("force_fetch"),
         ).persist()
+        timer.mark("dedup+ordinals")
         self.events_t.append(
             log_rows.unionByName(
                 novel_rows.select(
@@ -379,6 +412,7 @@ class CrawlEngine:
             )
         )
 
+        timer.mark("events-append")
         # --- frontier update ---------------------------------------------
         emitted_keys = fetched.select("fp").withColumnRenamed("fp", "__done_fp")
         retries = (
@@ -395,9 +429,15 @@ class CrawlEngine:
         new_frontier = remaining.unionByName(retries).unionByName(novel_rows)
         self.frontier_t.overwrite(new_frontier.repartition(cfg.num_buckets, "class_key"))
 
+        timer.mark("frontier-write")
         # --- url_seen update (fast delta append; already anti-joined) ------
-        self.urlseen.add_fps(novel_rows.select("fp"), assume_novel=True)
+        self.urlseen.add_fps(
+            novel_rows.select("fp"),
+            assume_novel=True,
+            n_hint=getattr(self, "_last_novel_count", None),
+        )
 
+        timer.mark("urlseen-append")
         # --- host_state update ---------------------------------------------
         # serial-per-host politeness: m fetches advance the host clock by
         # sum(duration + delay); budget expend per disposition (DEFERRED
@@ -468,6 +508,7 @@ class CrawlEngine:
         )
         self.host_t.overwrite(updated)
 
+        timer.mark("host-write")
         fetched.unpersist()
         novel_rows.unpersist()
         self.round += 1
@@ -511,6 +552,7 @@ class CrawlEngine:
                 "clock": self.clock,
                 "next_ordinal": self.next_ordinal,
                 "seed_prefixes": self.seed_prefixes,
+                "approx_seen": self.urlseen.approx_seen,
             },
         )
 
@@ -536,6 +578,7 @@ class CrawlEngine:
         eng.clock = st["clock"]
         eng.next_ordinal = st["next_ordinal"]
         eng.seed_prefixes = st["seed_prefixes"]
+        eng.urlseen.approx_seen = st.get("approx_seen", 0)
         # roll tables back to the checkpointed snapshot (time-travel) by
         # re-committing those versions as latest when newer ones exist
         for name, ver in ck["tables"].items():

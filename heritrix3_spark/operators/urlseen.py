@@ -114,6 +114,7 @@ class UrlSeen:
         num_buckets: int = 64,
         bloom: bool = True,
         bloom_bits_per_bucket: int = 1 << 20,
+        bloom_min_seen: int = 200_000,
     ):
         self.catalog = catalog
         self.table = catalog.table("url_seen")
@@ -121,6 +122,12 @@ class UrlSeen:
         self.num_buckets = num_buckets
         self.bloom = bloom
         self.bloom_nbits = bloom_bits_per_bucket
+        # the bloom probe only pays for itself once the exact anti-join side
+        # is big; below this approximate seen-set size we skip the probe
+        # stage entirely (shards are still maintained, so the prefilter is
+        # warm the moment the threshold is crossed)
+        self.bloom_min_seen = bloom_min_seen
+        self.approx_seen = 0
 
     # -- reads ------------------------------------------------------------
     def seen(self, spark: SparkSession) -> DataFrame:
@@ -145,30 +152,29 @@ class UrlSeen:
         spark = candidates.sparkSession
         if not self.table.exists():
             return candidates
-        cand = candidates.withColumn("__bucket", bucket_col(F.col(fp_field), self.num_buckets))
-        if self.bloom and self.bloom_table.exists():
+        use_bloom = (
+            self.bloom
+            and self.bloom_table.exists()
+            and self.approx_seen >= self.bloom_min_seen
+        )
+        if use_bloom:
+            cand = candidates.withColumn(
+                "__bucket", bucket_col(F.col(fp_field), self.num_buckets)
+            )
             cand = self._bloom_split(spark, cand, fp_field)
             # rows flagged maybe-seen need the exact check; definite-new pass
-            maybe = cand.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+            maybe = cand.filter(F.col("__maybe_seen")).drop("__maybe_seen", "__bucket")
             fresh = cand.filter(~F.col("__maybe_seen")).drop("__maybe_seen", "__bucket")
-            checked = self._anti_join(maybe, fp_field).drop("__bucket")
+            checked = self._anti_join(maybe, fp_field)
             return fresh.unionByName(checked)
-        return self._anti_join(cand, fp_field).drop("__bucket")
+        return self._anti_join(candidates, fp_field)
 
     def _anti_join(self, cand: DataFrame, fp_field: str) -> DataFrame:
-        seen = (
-            self.seen(cand.sparkSession)
-            .withColumnRenamed("fp", "__seen_fp")
-            .withColumnRenamed("bucket", "__seen_bucket")
-        )
-        return cand.join(
-            seen,
-            on=[
-                cand[fp_field] == F.col("__seen_fp"),
-                cand["__bucket"] == F.col("__seen_bucket"),
-            ],
-            how="left_anti",
-        )
+        # join on fp alone (bucket is fp-derived, so equality on fp implies
+        # bucket equality) — candidates arriving hash-partitioned by fp from
+        # the in-batch dedup window reuse that exchange
+        seen = self.seen(cand.sparkSession).select(F.col("fp").alias("__seen_fp"))
+        return cand.join(seen, on=cand[fp_field] == F.col("__seen_fp"), how="left_anti")
 
     def _bloom_split(self, spark: SparkSession, cand: DataFrame, fp_field: str) -> DataFrame:
         blooms = self.bloom_table.read(spark)
@@ -207,7 +213,11 @@ class UrlSeen:
 
     # -- writes -------------------------------------------------------------
     def add_fps(
-        self, fps: DataFrame, fp_field: str = "fp", assume_novel: bool = False
+        self,
+        fps: DataFrame,
+        fp_field: str = "fp",
+        assume_novel: bool = False,
+        n_hint: int | None = None,
     ) -> int | None:
         """Insert fingerprints (idempotent). Returns new-row count (or None
         on the assume_novel fast path, which skips the counting job).
@@ -233,6 +243,8 @@ class UrlSeen:
                 self._append_bloom(new)
             new.unpersist()
             self._maybe_compact(spark)
+            if n_hint is not None:
+                self.approx_seen += n_hint
             return None
         if self.table.exists():
             old = self.table.read(spark)
@@ -241,6 +253,7 @@ class UrlSeen:
         else:
             merged = new
         n_new = new.count()
+        self.approx_seen += n_new
         if n_new > 0 or not self.table.exists():
             merged = merged.repartition(self.num_buckets, "bucket").sortWithinPartitions("fp")
             self.table.overwrite(merged)

@@ -23,6 +23,7 @@ def urlseen(request, tmp_path):
         num_buckets=8,
         bloom=request.param,
         bloom_bits_per_bucket=1 << 14,
+        bloom_min_seen=0,  # engage the probe immediately for the test
     )
 
 
