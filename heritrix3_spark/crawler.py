@@ -96,6 +96,13 @@ class CrawlConfig:
     num_buckets: int = 32
     bloom: bool = True
     ordinal_partitions: int = 8
+    # robots policy: "ignore" (IgnoreRobotsPolicy) or "obey" (ObeyRobotsPolicy
+    # + PreconditionEnforcer.considerRobotsPreconditions semantics,
+    # prefetch/PreconditionEnforcer.java:204-251): unknown robots -> inject a
+    # /robots.txt prerequisite ('P' hop, HIGHEST) and DEFER the trigger URI;
+    # disallowed -> S_ROBOTS_PRECLUDED disregard; crawl-delay raises politeness
+    robots: str = "ignore"
+    user_agent: str = "heritrix3-spark"
 
 
 class CrawlEngine:
@@ -124,6 +131,15 @@ class CrawlEngine:
         # one append-only event table per crawl: journal tags F+/Fs/Fr/Fd/Ff
         # (FrontierJournal analog) + crawl.log disposition fields in one row
         self.events_t = self.catalog.table("events")
+        # fetched-payload sink: the WARC-record-chain analog
+        # (modules/.../writer/WARCWriterChainProcessor.java:59-160) — one row
+        # per successful fetch with the page's ordered span sequence and a
+        # sha1 content digest (FetchHTTP digestContent, FetchHTTP.java:121-130)
+        self.documents_t = self.catalog.table("documents_out")
+        # per-server robots state (CrawlServer.robotsFetched/robotstxt,
+        # modules/.../net/CrawlServer.java:157-190): body = "" means a
+        # non-2xx robots fetch -> NO_ROBOTS, allow all
+        self.robots_t = self.catalog.table("robots")
         self.overrides = fetch_status_overrides
         # driver-held scalars (checkpointed)
         self.round = 0
@@ -297,6 +313,57 @@ class CrawlEngine:
             frontier.join(F.broadcast(eligible_keys), "class_key"), k=cfg.k_per_host
         )
 
+        # --- robots precondition gate (PreconditionEnforcer analog) --------
+        if cfg.robots == "obey":
+            from heritrix3_spark.operators.robots import (
+                robots_allow_udf,
+                robots_crawl_delay_udf,
+            )
+
+            emitted = emitted.withColumn(
+                "__server", F.regexp_extract("canonical", r"^[^:/?#]+://([^/?#]*)", 1)
+            ).withColumn(
+                "__is_robots",
+                F.col("canonical").rlike(r"^[^:/?#]+://[^/?#]*/robots\.txt$"),
+            )
+            if self.robots_t.exists():
+                rb = self.robots_t.read(self.spark).select(
+                    F.col("server").alias("__rb_server"), F.col("body").alias("__rb_body")
+                )
+                emitted = emitted.join(
+                    F.broadcast(rb), emitted["__server"] == F.col("__rb_server"), "left"
+                ).drop("__rb_server")
+            else:
+                emitted = emitted.withColumn("__rb_body", F.lit(None).cast("string"))
+            known = F.col("__rb_body").isNotNull()
+            path_q = F.regexp_extract("canonical", r"^[^:/?#]+://[^/?#]*(.*)$", 1)
+            allowed = robots_allow_udf(
+                F.col("__rb_body"), F.lit(cfg.user_agent), path_q
+            )
+            emitted = emitted.withColumn(
+                "__forced_status",
+                # robots.txt itself is the prerequisite and always passes
+                F.when(F.col("__is_robots"), F.lit(None).cast("int"))
+                .when(~known, F.lit(FR.S_DEFERRED))
+                .when(~allowed, F.lit(FR.S_ROBOTS_PRECLUDED))
+                .otherwise(F.lit(None).cast("int")),
+            ).withColumn(
+                "__crawl_delay",
+                F.when(
+                    known,
+                    robots_crawl_delay_udf(F.col("__rb_body"), F.lit(cfg.user_agent)),
+                )
+                .otherwise(F.lit(None).cast("float"))
+                .cast("double"),
+            )
+        else:
+            emitted = (
+                emitted.withColumn("__server", F.lit(""))
+                .withColumn("__is_robots", F.lit(False))
+                .withColumn("__forced_status", F.lit(None).cast("int"))
+                .withColumn("__crawl_delay", F.lit(None).cast("double"))
+            )
+
         # --- fetch (synthetic: join against the web documents table) ----
         web = self.web.select(F.col("doc_id"), F.col("spans"))
         fetched = emitted.join(web, emitted["canonical"] == web["doc_id"], "left")
@@ -307,8 +374,12 @@ class CrawlEngine:
             )
             fetched = fetched.join(ov, fetched["canonical"] == ov["__ov_canon"], "left")
             status = F.coalesce(F.col("__ov_status"), status)
-        fetched = fetched.withColumn("fetch_status", status).withColumn(
-            "fetch_duration", F.lit(cfg.fetch_duration_ms).cast("long")
+        # deferred / robots-precluded URIs never reach the fetcher
+        status = F.coalesce(F.col("__forced_status"), status)
+        fetched = (
+            fetched.withColumn("fetch_status", status)
+            .withColumn("__no_fetch", F.col("__forced_status").isNotNull())
+            .withColumn("fetch_duration", F.lit(cfg.fetch_duration_ms).cast("long"))
         )
 
         timer.mark("fetch-plan")
@@ -322,7 +393,7 @@ class CrawlEngine:
                 "__politeness",
                 FR.politeness_delay_col(
                     F.col("fetch_duration"),
-                    None,
+                    F.col("__crawl_delay"),
                     cfg.delay_factor,
                     cfg.min_delay_ms,
                     cfg.max_delay_ms,
@@ -354,6 +425,20 @@ class CrawlEngine:
             "disposition",
         )
 
+        # --- documents sink (WARC analog): span payload + content digest ---
+        fetched_ok = fetched.filter(
+            (F.col("fetch_status") >= 200) & (F.col("fetch_status") < 300)
+            & F.col("spans").isNotNull()
+        )
+        self.documents_t.append(
+            fetched_ok.select(
+                F.col("canonical").alias("doc_id"),
+                "spans",
+                F.sha1(F.to_json("spans")).alias("content_digest"),
+                F.lit(self.round).alias("fetch_round"),
+            )
+        )
+
         # --- outlink extraction -> scope -> prepare -> dedup -------------
         pages = fetched.filter(
             (F.col("fetch_status") >= 200) & (F.col("fetch_status") < 400)
@@ -372,9 +457,34 @@ class CrawlEngine:
             F.concat(F.col("parent_hops"), F.col("hop")).alias("hops_path"),
             F.col("parent_uri").alias("via"),
             F.col("context").alias("via_context"),
+            F.lit(FR.NORMAL).alias("sched_directive"),
             "parent_ordinal",
             "outlink_index",
         )
+        if cfg.robots == "obey":
+            # deferred triggers inject their /robots.txt prerequisite:
+            # 'P' hop, HIGHEST directive, rides the trigger's queue
+            # (CrawlURI.markPrerequisite, CrawlURI.java:1717-1735); ordered
+            # before the trigger round's outlinks via outlink_index=-1
+            # via = the trigger's CANONICAL so the prerequisite provably
+            # lands in the trigger's queue (Heritrix's UURI layer lowercases
+            # hosts before the queue policy sees them; canonical is our
+            # equivalent normalization)
+            prereqs = fetched.filter(F.col("fetch_status") == FR.S_DEFERRED).select(
+                F.concat(
+                    F.regexp_extract("canonical", r"^([^:/?#]+)://", 1),
+                    F.lit("://"),
+                    F.col("__server"),
+                    F.lit("/robots.txt"),
+                ).alias("uri"),
+                F.concat(F.col("hops_path"), F.lit("P")).alias("hops_path"),
+                F.col("canonical").alias("via"),
+                F.lit("prereq").alias("via_context"),
+                F.lit(FR.HIGHEST).alias("sched_directive"),
+                F.col("ordinal").alias("parent_ordinal"),
+                F.lit(-1).alias("outlink_index"),
+            )
+            cand = prereqs.unionByName(cand)
         in_scope = cand.filter(
             SC.default_scope(
                 F.col("uri"), F.col("hops_path"), self.seed_prefixes, cfg.max_hops
@@ -442,8 +552,42 @@ class CrawlEngine:
         # serial-per-host politeness: m fetches advance the host clock by
         # sum(duration + delay); budget expend per disposition (DEFERRED
         # retries excluded per WorkQueueFrontier.java:947-963)
+        # robots.txt fetch results update per-server robots state
+        # (DispositionProcessor.innerProcess robots update :174-219)
+        if cfg.robots == "obey":
+            rb_new = fetched.filter(F.col("__is_robots") & ~F.col("__no_fetch")).select(
+                F.col("__server").alias("server"),
+                F.when(
+                    (F.col("fetch_status") >= 200)
+                    & (F.col("fetch_status") < 300)
+                    & F.col("spans").isNotNull(),
+                    F.array_join(
+                        F.transform(
+                            F.filter("spans", lambda s: s["kind"] == "text"),
+                            lambda s: s["text"],
+                        ),
+                        "\n",
+                    ),
+                ).otherwise(F.lit(""))  # non-2xx -> NO_ROBOTS (allow all)
+                .alias("body"),
+            )
+            if self.robots_t.exists():
+                old_rb = self.robots_t.read(self.spark)
+                merged_rb = old_rb.join(
+                    rb_new.select(F.col("server").alias("__s")),
+                    old_rb["server"] == F.col("__s"),
+                    "left_anti",
+                ).unionByName(rb_new)
+            else:
+                merged_rb = rb_new
+            self.robots_t.overwrite(merged_rb)
+
         per_host = fetched.groupBy("class_key").agg(
-            F.sum(F.col("fetch_duration") + F.col("__politeness")).alias("advance"),
+            F.sum(
+                F.when(
+                    ~F.col("__no_fetch"), F.col("fetch_duration") + F.col("__politeness")
+                ).otherwise(0)
+            ).alias("advance"),
             F.sum(
                 F.when(
                     (F.col("disposition") != "retry")
@@ -537,6 +681,71 @@ class CrawlEngine:
     def seen_count(self) -> int:
         return self.urlseen.count(self.spark)
 
+    def documents(self) -> DataFrame:
+        """Fetched payloads: (doc_id, spans, content_digest, fetch_round)."""
+        return self.documents_t.read(self.spark)
+
+    def export_pending_uris(self) -> DataFrame:
+        """Full dump of the pending frontier
+        (BdbMultipleWorkQueues.exportPendingUris analog, :568-587)."""
+        return self.frontier_t.read(self.spark)
+
+    # ------------------------------------------------------------------
+    # operator-facing frontier management
+    # ------------------------------------------------------------------
+    def delete_uris(self, queue_regex: str, uri_regex: str) -> None:
+        """Regex-delete across queues (WorkQueueFrontier.deleteURIs
+        :1100-1118; BdbMultipleWorkQueues.deleteMatchingFromQueue :105-139).
+        Host pending counters are recomputed for affected queues."""
+        frontier = self.frontier_t.read(self.spark)
+        kept = frontier.filter(
+            ~(F.col("class_key").rlike(queue_regex) & F.col("uri").rlike(uri_regex))
+        )
+        self.frontier_t.overwrite(kept.repartition(self.cfg.num_buckets, "class_key"))
+        self._recount_pending()
+
+    def forget_uri(self, canonical: str) -> None:
+        """Remove from the seen set so the URI can be rediscovered
+        (WorkQueueFrontier.forget :1081-1084, UriUniqFilter.forget)."""
+        from heritrix3_spark.fp import create_key
+
+        fps = self.spark.createDataFrame([(create_key(canonical),)], "fp long")
+        self.urlseen.forget_fps(fps)
+
+    def consider_included(self, canonical: str) -> None:
+        """Mark seen + never schedule (WorkQueueFrontier.considerIncluded
+        :1534-1552): the seen-set mutation without the frontier insert."""
+        from heritrix3_spark.fp import create_key
+
+        fps = self.spark.createDataFrame([(create_key(canonical),)], "fp long")
+        self.urlseen.add_fps(fps)
+
+    def _recount_pending(self) -> None:
+        frontier = self.frontier_t.read(self.spark)
+        hosts = self.host_t.read(self.spark)
+        counts = frontier.groupBy("class_key").agg(F.count("*").alias("__n"))
+        updated = hosts.join(counts, "class_key", "left").select(
+            "class_key",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("pending"),
+            "wake_time",
+            "total_expenditure",
+            "error_count",
+            "retired",
+        )
+        self.host_t.overwrite(updated)
+
+    # ------------------------------------------------------------------
+    # journal import (recovery without checkpoint)
+    # ------------------------------------------------------------------
+    def import_recover_journal(self, events: DataFrame) -> None:
+        """Rebuild the seen set from a journal: include-only pass over
+        Fi/Fs/F+ tags (AbstractFrontier.importRecoverFormat :909-967,
+        FrontierJournal.importRecoverLog :166-280). The schedule pass is
+        the caller re-seeding; here we replay 'considerIncluded' semantics
+        so finished URIs are not re-crawled."""
+        included = events.filter(F.col("tag").isin("Fs", "Fi", "F+")).select("canonical")
+        self.urlseen.add_fps(included.withColumn("fp", fp_udf(F.col("canonical"))).select("fp"))
+
     def _checkpoint(self) -> None:
         self.catalog.write_checkpoint(
             f"r{self.round:06d}",
@@ -544,6 +753,7 @@ class CrawlEngine:
                 "frontier": self.frontier_t.latest_version(),
                 "host_state": self.host_t.latest_version(),
                 "events": self.events_t.latest_version(),
+                "documents_out": self.documents_t.latest_version(),
                 "url_seen": self.urlseen.table.latest_version(),
                 "url_seen_bloom": self.urlseen.bloom_table.latest_version(),
             },

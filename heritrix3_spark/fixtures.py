@@ -69,13 +69,38 @@ def page_spans(host_idx: int, page_idx: int, pages: int, hosts: int) -> list[tup
     ]
 
 
+def robots_body(host_idx: int) -> str | None:
+    """Deterministic per-host robots.txt (None = no robots.txt -> 404 ->
+    NO_ROBOTS allow-all per CrawlServer.updateRobots).
+
+    Coverage: wildcard disallow (precluded pages), crawl-delay raising the
+    politeness floor, and the no-robots host.
+    """
+    k = host_idx % 3
+    if k == 0:
+        return None
+    if k == 1:
+        return "User-agent: *\nDisallow: /p1\n"
+    return "User-agent: *\nDisallow: /p2\nCrawl-delay: 4.5\n"
+
+
 def synth_web_rows(
-    hosts: int, pages: int, hot_host: int | None = None, hot_factor: int = 1
+    hosts: int,
+    pages: int,
+    hot_host: int | None = None,
+    hot_factor: int = 1,
+    robots: bool = False,
 ) -> list[tuple]:
     """[(doc_id, spans)] for the whole synthetic web (document order)."""
     rows = []
     for i in range(hosts):
         npages = pages * hot_factor if (hot_host is not None and i == hot_host) else pages
+        if robots:
+            body = robots_body(i)
+            if body is not None:
+                rows.append(
+                    (f"http://h{i}.example/robots.txt", [("text", body, None, 0)])
+                )
         for j in range(npages):
             rows.append((page_url(i, j), page_spans(i, j, npages, hosts)))
     return rows
@@ -88,8 +113,9 @@ def synth_web_df(
     hot_host: int | None = None,
     hot_factor: int = 1,
     num_partitions: int | None = None,
+    robots: bool = False,
 ) -> DataFrame:
-    rows = synth_web_rows(hosts, pages, hot_host, hot_factor)
+    rows = synth_web_rows(hosts, pages, hot_host, hot_factor, robots)
     df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
     if num_partitions:
         df = df.repartition(num_partitions)

@@ -144,6 +144,65 @@ def class_key_col(
     return key
 
 
+def hostname_class_key_col(uri: Column) -> Column:
+    """HostnameQueueAssignmentPolicy (engine/.../frontier/
+    HostnameQueueAssignmentPolicy.java:38-55): authority minus userinfo,
+    https-without-port gets ':443' appended, ':' -> '#'."""
+    scheme = F.lower(F.regexp_extract(uri, r"^([^:/?#]+)://", 1))
+    authority = F.regexp_extract(uri, r"^[^:/?#]+://(?:[^/?#@]*@)?([^/?#]*)", 1)
+    https_no_port = (scheme == "https") & ~authority.rlike(r".+:[0-9]+$")
+    candidate = F.when(https_no_port, F.concat(authority, F.lit(":443"))).otherwise(authority)
+    return F.when(F.length(authority) > 0, F.translate(candidate, ":", "#")).otherwise(
+        F.lit(DEFAULT_CLASS_KEY)
+    )
+
+
+def java_string_hash_col(s: Column) -> Column:
+    """Java String.hashCode as a column expression (31·h + c with int32
+    wraparound) — needed for BucketQueueAssignmentPolicy parity."""
+    wrapped = F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * 31 + F.coalesce(F.ascii(ch), F.lit(0)), F.lit(1 << 32)),
+    )
+    # interpret as signed 32-bit
+    return F.when(wrapped >= (1 << 31), wrapped - (1 << 32)).otherwise(wrapped).cast("long")
+
+
+def bucket_class_key_col(uri: Column, num_buckets: int = 1024) -> Column:
+    """BucketQueueAssignmentPolicy.java:43-63 no-IP branch:
+    ``abs(hash(hostname)) & (buckets-1)`` over Java String.hashCode."""
+    host = F.lower(
+        F.regexp_extract(uri, r"^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:]*)", 1)
+    )
+    h = java_string_hash_col(host)
+    return (F.abs(h).bitwiseAND(F.lit(num_buckets - 1))).cast("string")
+
+
+_MULTI_PART_SLDS = ("co", "com", "org", "net", "ac", "gov", "edu")
+
+
+def assignment_level_class_key_col(uri: Column) -> Column:
+    """AssignmentLevelSurtQueueAssignmentPolicy.java:44: reduce the SURT
+    authority to the topmost assignable domain. Heritrix delegates to the
+    public-suffix list; we apply the standard two-label rule with the
+    common multi-part second-level domains (co.uk etc.) — documented
+    approximation, swap in a full PSL table at deployment."""
+    host = F.lower(F.regexp_extract(uri, r"^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    second = F.element_at(labels, -2)
+    take = F.when(
+        (n >= 3) & second.isin(*_MULTI_PART_SLDS) & (F.length(F.element_at(labels, -1)) == 2),
+        F.lit(3),
+    ).otherwise(F.lit(2))
+    assignable = F.array_join(
+        F.reverse(F.slice(F.reverse(labels), 1, take.cast("int"))), "."
+    )
+    surt_form = F.concat(F.array_join(F.reverse(F.split(assignable, r"\.")), ","), F.lit(","))
+    return F.when(n >= 2, surt_form).otherwise(F.lit(DEFAULT_CLASS_KEY))
+
+
 def salted_partition_col(class_key: Column, num_salts: int) -> Column:
     """Salt sub-key for shuffle-partitioning hot hosts.
 

@@ -153,6 +153,89 @@ def _extract_html_one(base: str, html: str) -> list[tuple]:
     return out
 
 
+_RE_SITEMAP_LINE = re.compile(r"(?i)Sitemap:\s*(.+)$", re.MULTILINE)
+_RE_SITEMAP_LOC = re.compile(r"(?is)<loc[^>]*>\s*([^<\s]+)\s*</loc>")
+# ExtractorJS string scanner (ExtractorJS.java:69-195): quoted strings run
+# through the likely-URI detector (UriUtils.java:483-487: no whitespace or
+# <>, an internal dot or slash, word-char/slash at both ends)
+_RE_JS_STRING = re.compile(r"""(?:"((?:[^"\\]|\\.){3,256})"|'((?:[^'\\]|\\.){3,256})')""")
+_RE_LIKELY_URI = re.compile(r"^(?:\w|[.]{0,2}/)[^\s<>]*(?:[./])[^\s<>]*(?:\w|/)$")
+_JS_URI_EXCEPTIONS = {"text/javascript"}
+
+
+def _extract_robots_sitemaps_one(body: str) -> list[tuple]:
+    """ExtractorRobotsTxt.java:16-80: `Sitemap:` lines -> 'M' manifest hop."""
+    if not body:
+        return []
+    return [
+        (m.group(1).strip(), "robots.txt:sitemap", "M")
+        for m in _RE_SITEMAP_LINE.finditer(body)
+    ][:MAX_OUTLINKS]
+
+
+def _extract_sitemap_one(xml: str) -> list[tuple]:
+    """ExtractorSitemap.java:98-190: urlset/sitemapindex <loc> -> 'M' hop."""
+    if not xml or ("<urlset" not in xml and "<sitemapindex" not in xml):
+        return []
+    return [
+        (m.group(1).strip(), "sitemap/loc", "M") for m in _RE_SITEMAP_LOC.finditer(xml)
+    ][:MAX_OUTLINKS]
+
+
+def _extract_js_one(js: str) -> list[tuple]:
+    """ExtractorJS-style speculative extraction: quoted likely-URIs -> 'X'."""
+    if not js:
+        return []
+    out = []
+    for m in _RE_JS_STRING.finditer(js):
+        s = (m.group(1) or m.group(2) or "").strip()
+        if not s or s in _JS_URI_EXCEPTIONS:
+            continue
+        if _RE_LIKELY_URI.match(s):
+            out.append((s, "js/string", "X"))
+            if len(out) >= MAX_OUTLINKS:
+                break
+    return out
+
+
+@pandas_udf(ArrayType(OUTLINK_TYPE))
+def extract_robots_sitemaps_udf(body: pd.Series) -> pd.Series:
+    return pd.Series([_extract_robots_sitemaps_one(b) for b in body.fillna("")])
+
+
+@pandas_udf(ArrayType(OUTLINK_TYPE))
+def extract_sitemap_udf(xml: pd.Series) -> pd.Series:
+    return pd.Series([_extract_sitemap_one(x) for x in xml.fillna("")])
+
+
+@pandas_udf(ArrayType(OUTLINK_TYPE))
+def extract_js_udf(js: pd.Series) -> pd.Series:
+    return pd.Series([_extract_js_one(j) for j in js.fillna("")])
+
+
+def extract_http_headers(
+    df: DataFrame,
+    base_col: str = "uri",
+    location_col: str = "location",
+    content_location_col: str = "content_location",
+) -> DataFrame:
+    """ExtractorHTTP: the `Location` response header is an 'R' (refer/
+    redirect) hop, `Content-Location` an 'E' hop — pure column algebra."""
+    loc = df.select(
+        F.col(base_col).alias("doc_id"),
+        resolve_ref_col(F.col(base_col), F.col(location_col)).alias("url"),
+        F.lit("hdr/Location").alias("context"),
+        F.lit("R").alias("hop"),
+    ).filter(F.col(location_col).isNotNull())
+    cloc = df.select(
+        F.col(base_col).alias("doc_id"),
+        resolve_ref_col(F.col(base_col), F.col(content_location_col)).alias("url"),
+        F.lit("hdr/Content-Location").alias("context"),
+        F.lit("E").alias("hop"),
+    ).filter(F.col(content_location_col).isNotNull())
+    return loc.unionByName(cloc)
+
+
 @pandas_udf(ArrayType(OUTLINK_TYPE))
 def extract_html_udf(base: pd.Series, html: pd.Series) -> pd.Series:
     """Vectorized HTML outlink extraction (regexes compiled once/worker)."""

@@ -53,11 +53,15 @@ class SimConfig:
     delay_factor: float = 5.0
     min_delay_ms: int = 3000
     max_delay_ms: int = 30000
+    respect_crawl_delay_up_to_ms: int = 300_000
     session_budget: int = 3000
     error_penalty: int = 100
     total_budget: int = -1
     max_rounds: int = 10_000
     preference_embed_hops: int = 1
+    robots: str = "ignore"  # or "obey" (PreconditionEnforcer semantics)
+    user_agent: str = "heritrix3-spark"
+    max_retries: int = 30
 
 
 @dataclass
@@ -72,6 +76,7 @@ class SimURI:
     precedence: int
     cost: int
     ordinal: int
+    fetch_attempts: int = 0
 
 
 @dataclass
@@ -200,6 +205,17 @@ def simulate(
     for u in seed_uris:
         schedule(u, "", None, True, MEDIUM)
 
+    # robots state: server -> parsed Robotstxt (PreconditionEnforcer analog)
+    from heritrix3_spark.operators.robots import Robotstxt
+
+    robots_state: dict[str, Robotstxt] = {}
+
+    def _server_path(canonical: str):
+        m = _re.match(r"^([^:/?#]+)://([^/?#]*)(.*)$", canonical)
+        if not m:
+            return None, None, None
+        return m.group(1), m.group(2), m.group(3)
+
     # --- rounds ---------------------------------------------------------
     T = 0
     for rnd in range(cfg.max_rounds):
@@ -221,12 +237,62 @@ def simulate(
             take = q.pending[: cfg.k_per_host]
             q.pending = q.pending[len(take) :]
             t_host = T
+            requeue = []
             for m, curi in enumerate(take):
+                scheme, server, path_q = _server_path(curi.canonical)
+                is_robots = path_q == "/robots.txt"
+                forced = None
+                if cfg.robots == "obey" and not is_robots and server is not None:
+                    if server not in robots_state:
+                        forced = -50  # S_DEFERRED: robots unknown
+                    elif not robots_state[server].allows(cfg.user_agent, path_q):
+                        forced = -9998  # S_ROBOTS_PRECLUDED
+                if forced == -50:
+                    attempts = curi.fetch_attempts + 1
+                    if attempts < cfg.max_retries:
+                        disposition = "retry"
+                        curi.fetch_attempts = attempts
+                        requeue.append(curi)
+                        # inject the /robots.txt prerequisite ('P', HIGHEST);
+                        # via = trigger's canonical -> same queue
+                        candidates.append(
+                            (
+                                curi.ordinal,
+                                -1,
+                                f"{scheme}://{server}/robots.txt",
+                                curi.hops_path + "P",
+                                curi.canonical,
+                                HIGHEST,
+                            )
+                        )
+                    else:
+                        disposition = "fail"
+                        q.total_expenditure += curi.cost + cfg.error_penalty
+                    log.append(
+                        dict(round=rnd, class_key=ck, uri=curi.uri,
+                             canonical=curi.canonical, ordinal=curi.ordinal,
+                             fetch_status=-50, disposition=disposition)
+                    )
+                    continue
+                if forced == -9998:
+                    q.total_expenditure += curi.cost
+                    log.append(
+                        dict(round=rnd, class_key=ck, uri=curi.uri,
+                             canonical=curi.canonical, ordinal=curi.ordinal,
+                             fetch_status=-9998, disposition="disregard")
+                    )
+                    continue
                 status = 200 if curi.canonical in web else 404
                 duration = cfg.fetch_duration_ms
                 delay = int(cfg.delay_factor * duration)
                 delay = max(delay, cfg.min_delay_ms)
                 delay = min(delay, cfg.max_delay_ms)
+                if cfg.robots == "obey" and server in robots_state:
+                    cd = robots_state[server].crawl_delay(cfg.user_agent)
+                    if delay < cfg.respect_crawl_delay_up_to_ms:
+                        cd_ms = min(int(cd * 1000), cfg.respect_crawl_delay_up_to_ms)
+                        if cd_ms > delay:
+                            delay = cd_ms
                 t_host += duration + delay
                 q.total_expenditure += curi.cost
                 log.append(
@@ -240,6 +306,14 @@ def simulate(
                         disposition="success",
                     )
                 )
+                if cfg.robots == "obey" and is_robots and server is not None:
+                    if 200 <= status < 300:
+                        body = "\n".join(
+                            t for k, t, r, o in web.get(curi.canonical, []) if k == "text" and t
+                        )
+                    else:
+                        body = ""  # NO_ROBOTS: allow all
+                    robots_state[server] = Robotstxt(body)
                 if 200 <= status < 400:
                     for kind, text, ref, offset in web[curi.canonical]:
                         if kind not in ("link", "img", "script", "css", "media"):
@@ -249,17 +323,18 @@ def simulate(
                         hop = "L" if kind == "link" else "E"
                         url = _resolve(curi.canonical, ref)
                         candidates.append(
-                            (curi.ordinal, offset, url, curi.hops_path + hop, curi.uri)
+                            (curi.ordinal, offset, url, curi.hops_path + hop, curi.uri, NORMAL)
                         )
+            q.pending.extend(requeue)
             q.wake_time = t_host
             if cfg.total_budget >= 0 and q.total_expenditure >= cfg.total_budget:
                 q.retired = True  # isOverTotalBudget -> retireQueue
-        # candidate processing in discovery order
+        # candidate processing in discovery order (prereqs sort first: -1)
         candidates.sort(key=lambda c: (c[0], c[1]))
-        for parent_ord, idx, url, hops, via in candidates:
+        for parent_ord, idx, url, hops, via, cur_directive in candidates:
             if not _scope_ok(url, hops, prefixes, cfg.max_hops):
                 continue
-            directive = _directive(hops, NORMAL, cfg.preference_embed_hops)
+            directive = _directive(hops, cur_directive, cfg.preference_embed_hops)
             schedule(url, hops, via, False, directive)
 
     return log, seen
