@@ -103,6 +103,12 @@ class CrawlConfig:
     # disallowed -> S_ROBOTS_PRECLUDED disregard; crawl-delay raises politeness
     robots: str = "ignore"
     user_agent: str = "heritrix3-spark"
+    # session budget (balanceReplenishAmount, WorkQueueFrontier.java:119-127):
+    # in the macro-batch model every round re-activates a queue (replenish),
+    # so the budget caps a queue's spend per active round: emitted URIs per
+    # queue <= min(k_per_host, session_budget/unit_cost)
+    session_budget: int = 3000
+    metrics: bool = True
 
 
 class CrawlEngine:
@@ -140,6 +146,8 @@ class CrawlEngine:
         # modules/.../net/CrawlServer.java:157-190): body = "" means a
         # non-2xx robots fetch -> NO_ROBOTS, allow all
         self.robots_t = self.catalog.table("robots")
+        # per-round crawl snapshot rows (StatisticsTracker analog)
+        self.metrics_t = self.catalog.table("metrics")
         self.overrides = fetch_status_overrides
         # driver-held scalars (checkpointed)
         self.round = 0
@@ -193,6 +201,7 @@ class CrawlEngine:
                 "ordinal",
                 F.lit(None).cast("int").alias("fetch_status"),
                 F.lit(None).cast("string").alias("disposition"),
+                F.lit(True).alias("is_seed"),
             )
         )
         self._checkpoint()
@@ -309,8 +318,10 @@ class CrawlEngine:
             self.clock = max(self.clock + 1, live_stats.min_wake)
 
         eligible_keys = live.filter(F.col("wake_time") <= self.clock).select("class_key")
+        # session budget caps per-activation spend (unit cost): see CrawlConfig
+        k_eff = min(cfg.k_per_host, max(1, cfg.session_budget))
         emitted = FR.head_pick(
-            frontier.join(F.broadcast(eligible_keys), "class_key"), k=cfg.k_per_host
+            frontier.join(F.broadcast(eligible_keys), "class_key"), k=k_eff
         )
 
         # --- robots precondition gate (PreconditionEnforcer analog) --------
@@ -423,6 +434,7 @@ class CrawlEngine:
             "ordinal",
             "fetch_status",
             "disposition",
+            "is_seed",
         )
 
         # --- documents sink (WARC analog): span payload + content digest ---
@@ -518,6 +530,7 @@ class CrawlEngine:
                     "ordinal",
                     F.lit(None).cast("int").alias("fetch_status"),
                     F.lit(None).cast("string").alias("disposition"),
+                    F.lit(False).alias("is_seed"),
                 )
             )
         )
@@ -653,6 +666,42 @@ class CrawlEngine:
         self.host_t.overwrite(updated)
 
         timer.mark("host-write")
+        # --- per-round metrics snapshot (CrawlStatSnapshot analog) ----------
+        if cfg.metrics:
+            n_fetched = fetched.count()  # cached
+            depth = (
+                self.host_t.read(self.spark)
+                .filter(F.col("pending") > 0)
+                .agg(
+                    F.count("*").alias("n_queues"),
+                    F.coalesce(F.sum("pending"), F.lit(0)).alias("queued"),
+                    F.coalesce(F.max("pending"), F.lit(0)).alias("deepest"),
+                )
+                .collect()[0]
+            )
+            n_live = int(live_stats.n_live or 0)
+            metrics_row = self.spark.createDataFrame(
+                [
+                    (
+                        self.round,
+                        self.clock,
+                        n_fetched,
+                        int(getattr(self, "_last_novel_count", 0)),
+                        n_live,
+                        int(live_stats.n_eligible or 0),
+                        int(depth.n_queues or 0),
+                        int(depth.queued or 0),
+                        int(depth.deepest or 0),
+                        # congestionRatio analog (WorkQueueFrontier.java:1583-1593):
+                        # demand (eligible) over service capacity this round
+                        float(live_stats.n_eligible or 0) / max(n_live, 1),
+                    )
+                ],
+                "round int, clock long, fetched int, novel int, live_queues int, "
+                "eligible_queues int, nonempty_queues int, queued_uri_count long, "
+                "deepest_queue long, congestion_ratio double",
+            )
+            self.metrics_t.append(metrics_row)
         fetched.unpersist()
         novel_rows.unpersist()
         self.round += 1
@@ -672,11 +721,13 @@ class CrawlEngine:
     def crawl_log(self) -> DataFrame:
         """Disposition rows only (crawl.log analog)."""
         ev = self.events_t.read(self.spark)
-        return ev.filter(F.col("tag") != "F+").drop("tag")
+        return ev.filter(F.col("tag") != "F+").drop("tag", "is_seed")
 
     def journal(self) -> DataFrame:
         """Full event journal incl. F+ schedule events (recover.gz analog)."""
-        return self.events_t.read(self.spark).select("round", "tag", "canonical", "ordinal")
+        return self.events_t.read(self.spark).select(
+            "round", "tag", "canonical", "ordinal", "is_seed"
+        )
 
     def seen_count(self) -> int:
         return self.urlseen.count(self.spark)
@@ -684,6 +735,25 @@ class CrawlEngine:
     def documents(self) -> DataFrame:
         """Fetched payloads: (doc_id, spans, content_digest, fetch_round)."""
         return self.documents_t.read(self.spark)
+
+    def metrics(self) -> DataFrame:
+        """Per-round crawl snapshots (StatisticsTracker analog)."""
+        return self.metrics_t.read(self.spark)
+
+    def reports(self) -> dict[str, DataFrame]:
+        """Heritrix report set: fetch stats, response codes, seeds, depth,
+        digest history (reporting/*.java analogs)."""
+        from heritrix3_spark.operators import stats as ST
+
+        log = self.crawl_log()
+        return {
+            "host_fetch_stats": ST.host_fetch_stats(log),
+            "response_codes": ST.response_code_report(log),
+            "seeds": ST.seeds_report(log, self.journal()),
+            "queue_depth": ST.queue_depth_stats(self.host_t.read(self.spark)),
+            "digest_history": ST.digest_history(self.documents()),
+            "crawled_bytes": ST.crawled_bytes_histotable(self.documents()),
+        }
 
     def export_pending_uris(self) -> DataFrame:
         """Full dump of the pending frontier

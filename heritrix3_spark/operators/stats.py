@@ -1,0 +1,101 @@
+"""Statistics / reporting aggregations (SURVEY §2.13).
+
+Re-expresses Heritrix's StatisticsTracker / CrawlStatSnapshot / report
+generators as grouped aggregations:
+
+- per-round crawl snapshot: docs/sec, congestion ratio, average depth,
+  deepest queue (reporting/CrawlStatSnapshot.java:74-120;
+  congestionRatio WorkQueueFrontier.java:1583-1593;
+  averageDepth/deepestUri WorkQueueFrontier.java:1566-1577)
+- FetchStats per host (modules/.../fetcher/FetchStats.java:45-100;
+  AbstractFrontier.tally :620-645): per-host pivot of dispositions
+- response-code report, seeds report (reporting/*.java)
+- Histotable analog = plain groupBy().count()
+
+And the recrawl/content-digest history (SURVEY §2.12):
+- fetch_history keyed by content digest
+  (modules/.../recrawl/*.java, BdbContentDigestHistory.java); duplicate-
+  by-hash accounting mirrors CrawledBytesHistotable's novel/dupByHash
+  (engine/.../util/CrawledBytesHistotable.java:36-63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def host_fetch_stats(crawl_log: DataFrame) -> DataFrame:
+    """FetchStats per queue: disposition pivot + URI counts."""
+    return (
+        crawl_log.groupBy("class_key")
+        .pivot("disposition", ["success", "retry", "disregard", "fail"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def response_code_report(crawl_log: DataFrame) -> DataFrame:
+    return (
+        crawl_log.groupBy("fetch_status")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("fetch_status"))
+    )
+
+
+def seeds_report(crawl_log: DataFrame, frontier_journal: DataFrame) -> DataFrame:
+    """SeedRecord disposition: the first disposition of each seed-scheduled
+    URI (ordinals assigned at bootstrap round 0)."""
+    seeds = frontier_journal.filter((F.col("tag") == "F+") & F.col("is_seed")).select(
+        "canonical", "ordinal"
+    )
+    w = Window.partitionBy("canonical").orderBy("round")
+    first_disp = (
+        crawl_log.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("canonical", "disposition", "fetch_status")
+    )
+    return seeds.join(first_disp, "canonical", "left").select(
+        "canonical", "ordinal", "disposition", "fetch_status"
+    )
+
+
+def queue_depth_stats(host_state: DataFrame) -> DataFrame:
+    """averageDepth + deepestUri over live queues (one-row DataFrame)."""
+    live = host_state.filter(F.col("pending") > 0)
+    return live.agg(
+        F.count("*").alias("n_queues"),
+        F.sum("pending").alias("queued_uri_count"),
+        F.round(F.avg("pending"), 4).alias("average_depth"),
+        F.max("pending").alias("deepest_queue"),
+    )
+
+
+def digest_history(documents_out: DataFrame) -> DataFrame:
+    """Content-digest fetch history: first fetch + revisit accounting.
+
+    One row per distinct payload digest: the first doc/round that produced
+    it and how many identical-payload revisits followed
+    (IdenticalPayloadDigestRevisit analog).
+    """
+    w = Window.partitionBy("content_digest").orderBy("fetch_round", "doc_id")
+    ranked = documents_out.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("content_digest")
+        .agg(
+            F.min(F.when(F.col("__rk") == 1, F.col("doc_id"))).alias("first_doc"),
+            F.min("fetch_round").alias("first_round"),
+            (F.count("*") - 1).alias("dup_by_hash"),
+        )
+    )
+
+
+def crawled_bytes_histotable(documents_out: DataFrame) -> DataFrame:
+    """novel vs dupByHash fetch accounting (CrawledBytesHistotable law):
+    the first fetch of a digest is 'novel', later identical payloads are
+    'dupByHash'."""
+    w = Window.partitionBy("content_digest").orderBy("fetch_round", "doc_id")
+    tagged = documents_out.withColumn(
+        "kind", F.when(F.row_number().over(w) == 1, "novel").otherwise("dupByHash")
+    )
+    return tagged.groupBy("kind").agg(F.count("*").alias("n"))
