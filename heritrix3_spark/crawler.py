@@ -103,6 +103,13 @@ class CrawlConfig:
     # disallowed -> S_ROBOTS_PRECLUDED disregard; crawl-delay raises politeness
     robots: str = "ignore"
     user_agent: str = "heritrix3-spark"
+    # DNS preconditions (PreconditionEnforcer.considerDnsPreconditions,
+    # prefetch/PreconditionEnforcer.java:274-305): "obey" -> a URI whose
+    # host has no DNS entry is DEFERRED and a `dns:host` prerequisite is
+    # injected ('P' hop, HIGHEST, trigger's queue). DNS lookups always
+    # succeed in the synthetic fetch (status S_DNS_SUCCESS=1); entry expiry
+    # (ipValidityDurationSeconds) is not modeled (no wall clock).
+    dns: str = "ignore"
     # session budget (balanceReplenishAmount, WorkQueueFrontier.java:119-127):
     # in the macro-batch model every round re-activates a queue (replenish),
     # so the budget caps a queue's spend per active round: emitted URIs per
@@ -148,6 +155,8 @@ class CrawlEngine:
         self.robots_t = self.catalog.table("robots")
         # per-round crawl snapshot rows (StatisticsTracker analog)
         self.metrics_t = self.catalog.table("metrics")
+        # resolved hosts (CrawlHost/BdbServerCache analog)
+        self.dns_t = self.catalog.table("dns")
         self.overrides = fetch_status_overrides
         # driver-held scalars (checkpointed)
         self.round = 0
@@ -324,54 +333,98 @@ class CrawlEngine:
             frontier.join(F.broadcast(eligible_keys), "class_key"), k=k_eff
         )
 
-        # --- robots precondition gate (PreconditionEnforcer analog) --------
-        if cfg.robots == "obey":
-            from heritrix3_spark.operators.robots import (
-                robots_allow_udf,
-                robots_crawl_delay_udf,
-            )
-
+        # --- precondition gate: DNS first, then robots (PreconditionEnforcer
+        # order, prefetch/PreconditionEnforcer.java:85-120) ------------------
+        need_gate = cfg.robots == "obey" or cfg.dns == "obey"
+        if need_gate:
             emitted = emitted.withColumn(
-                "__server", F.regexp_extract("canonical", r"^[^:/?#]+://([^/?#]*)", 1)
+                "__is_dns", F.col("canonical").startswith("dns:")
+            ).withColumn(
+                "__server",
+                F.when(
+                    F.col("__is_dns"), F.substring(F.col("canonical"), 5, 4096)
+                ).otherwise(
+                    F.regexp_extract("canonical", r"^[^:/?#]+://([^/?#]*)", 1)
+                ),
             ).withColumn(
                 "__is_robots",
                 F.col("canonical").rlike(r"^[^:/?#]+://[^/?#]*/robots\.txt$"),
             )
-            if self.robots_t.exists():
-                rb = self.robots_t.read(self.spark).select(
-                    F.col("server").alias("__rb_server"), F.col("body").alias("__rb_body")
+            if cfg.dns == "obey" and self.dns_t.exists():
+                dns = self.dns_t.read(self.spark).select(
+                    F.col("host").alias("__dns_host"), F.lit(True).alias("__dns_known")
                 )
                 emitted = emitted.join(
-                    F.broadcast(rb), emitted["__server"] == F.col("__rb_server"), "left"
-                ).drop("__rb_server")
-            else:
-                emitted = emitted.withColumn("__rb_body", F.lit(None).cast("string"))
-            known = F.col("__rb_body").isNotNull()
-            path_q = F.regexp_extract("canonical", r"^[^:/?#]+://[^/?#]*(.*)$", 1)
-            allowed = robots_allow_udf(
-                F.col("__rb_body"), F.lit(cfg.user_agent), path_q
-            )
-            emitted = emitted.withColumn(
-                "__forced_status",
-                # robots.txt itself is the prerequisite and always passes
-                F.when(F.col("__is_robots"), F.lit(None).cast("int"))
-                .when(~known, F.lit(FR.S_DEFERRED))
-                .when(~allowed, F.lit(FR.S_ROBOTS_PRECLUDED))
-                .otherwise(F.lit(None).cast("int")),
-            ).withColumn(
-                "__crawl_delay",
-                F.when(
-                    known,
-                    robots_crawl_delay_udf(F.col("__rb_body"), F.lit(cfg.user_agent)),
+                    F.broadcast(dns), emitted["__server"] == F.col("__dns_host"), "left"
+                ).drop("__dns_host")
+                emitted = emitted.withColumn(
+                    "__dns_known", F.coalesce(F.col("__dns_known"), F.lit(False))
                 )
-                .otherwise(F.lit(None).cast("float"))
-                .cast("double"),
+            else:
+                emitted = emitted.withColumn(
+                    "__dns_known", F.lit(cfg.dns != "obey")
+                )
+            if cfg.robots == "obey":
+                from heritrix3_spark.operators.robots import (
+                    robots_allow_udf,
+                    robots_crawl_delay_udf,
+                )
+
+                if self.robots_t.exists():
+                    rb = self.robots_t.read(self.spark).select(
+                        F.col("server").alias("__rb_server"),
+                        F.col("body").alias("__rb_body"),
+                    )
+                    emitted = emitted.join(
+                        F.broadcast(rb), emitted["__server"] == F.col("__rb_server"), "left"
+                    ).drop("__rb_server")
+                else:
+                    emitted = emitted.withColumn("__rb_body", F.lit(None).cast("string"))
+                rb_known = F.col("__rb_body").isNotNull()
+                path_q = F.regexp_extract("canonical", r"^[^:/?#]+://[^/?#]*(.*)$", 1)
+                allowed = robots_allow_udf(F.col("__rb_body"), F.lit(cfg.user_agent), path_q)
+                crawl_delay = (
+                    F.when(
+                        rb_known,
+                        robots_crawl_delay_udf(F.col("__rb_body"), F.lit(cfg.user_agent)),
+                    )
+                    .otherwise(F.lit(None).cast("float"))
+                    .cast("double")
+                )
+            else:
+                rb_known, allowed = F.lit(True), F.lit(True)
+                crawl_delay = F.lit(None).cast("double")
+            emitted = (
+                emitted.withColumn(
+                    "__forced_status",
+                    # the dns: prerequisite itself always proceeds; then DNS
+                    # gate; the robots.txt prerequisite passes once DNS known;
+                    # then robots gate
+                    F.when(F.col("__is_dns"), F.lit(None).cast("int"))
+                    .when(~F.col("__dns_known"), F.lit(FR.S_DEFERRED))
+                    .when(F.col("__is_robots"), F.lit(None).cast("int"))
+                    .when(~rb_known, F.lit(FR.S_DEFERRED))
+                    .when(~allowed, F.lit(FR.S_ROBOTS_PRECLUDED))
+                    .otherwise(F.lit(None).cast("int")),
+                )
+                .withColumn(
+                    "__defer_reason",
+                    F.when(
+                        ~F.col("__is_dns") & ~F.col("__dns_known"), F.lit("dns")
+                    ).when(
+                        ~F.col("__is_dns") & ~F.col("__is_robots") & ~rb_known,
+                        F.lit("robots"),
+                    ),
+                )
+                .withColumn("__crawl_delay", crawl_delay)
             )
         else:
             emitted = (
                 emitted.withColumn("__server", F.lit(""))
+                .withColumn("__is_dns", F.lit(False))
                 .withColumn("__is_robots", F.lit(False))
                 .withColumn("__forced_status", F.lit(None).cast("int"))
+                .withColumn("__defer_reason", F.lit(None).cast("string"))
                 .withColumn("__crawl_delay", F.lit(None).cast("double"))
             )
 
@@ -385,8 +438,13 @@ class CrawlEngine:
             )
             fetched = fetched.join(ov, fetched["canonical"] == ov["__ov_canon"], "left")
             status = F.coalesce(F.col("__ov_status"), status)
-        # deferred / robots-precluded URIs never reach the fetcher
-        status = F.coalesce(F.col("__forced_status"), status)
+        # deferred / robots-precluded URIs never reach the fetcher; dns:
+        # lookups resolve synthetically (S_DNS_SUCCESS, FetchStatusCodes:113)
+        status = F.coalesce(
+            F.col("__forced_status"),
+            F.when(F.col("__is_dns"), F.lit(FR.S_DNS_SUCCESS)),
+            status,
+        )
         fetched = (
             fetched.withColumn("fetch_status", status)
             .withColumn("__no_fetch", F.col("__forced_status").isNotNull())
@@ -473,22 +531,28 @@ class CrawlEngine:
             "parent_ordinal",
             "outlink_index",
         )
-        if cfg.robots == "obey":
-            # deferred triggers inject their /robots.txt prerequisite:
-            # 'P' hop, HIGHEST directive, rides the trigger's queue
-            # (CrawlURI.markPrerequisite, CrawlURI.java:1717-1735); ordered
-            # before the trigger round's outlinks via outlink_index=-1
-            # via = the trigger's CANONICAL so the prerequisite provably
-            # lands in the trigger's queue (Heritrix's UURI layer lowercases
-            # hosts before the queue policy sees them; canonical is our
-            # equivalent normalization)
-            prereqs = fetched.filter(F.col("fetch_status") == FR.S_DEFERRED).select(
+        if cfg.robots == "obey" or cfg.dns == "obey":
+            # deferred triggers inject their prerequisite (dns:host or
+            # /robots.txt): 'P' hop, HIGHEST directive, rides the trigger's
+            # queue (CrawlURI.markPrerequisite, CrawlURI.java:1717-1735);
+            # ordered before the trigger round's outlinks via
+            # outlink_index=-1. via = the trigger's CANONICAL so the
+            # prerequisite provably lands in the trigger's queue (Heritrix's
+            # UURI layer lowercases hosts before the queue policy sees them;
+            # canonical is our equivalent normalization).
+            prereq_uri = F.when(
+                F.col("__defer_reason") == "dns",
+                F.concat(F.lit("dns:"), F.col("__server")),
+            ).otherwise(
                 F.concat(
                     F.regexp_extract("canonical", r"^([^:/?#]+)://", 1),
                     F.lit("://"),
                     F.col("__server"),
                     F.lit("/robots.txt"),
-                ).alias("uri"),
+                )
+            )
+            prereqs = fetched.filter(F.col("fetch_status") == FR.S_DEFERRED).select(
+                prereq_uri.alias("uri"),
                 F.concat(F.col("hops_path"), F.lit("P")).alias("hops_path"),
                 F.col("canonical").alias("via"),
                 F.lit("prereq").alias("via_context"),
@@ -565,6 +629,18 @@ class CrawlEngine:
         # serial-per-host politeness: m fetches advance the host clock by
         # sum(duration + delay); budget expend per disposition (DEFERRED
         # retries excluded per WorkQueueFrontier.java:947-963)
+        # dns lookups update the resolved-host table (CrawlHost analog)
+        if cfg.dns == "obey":
+            dns_new = fetched.filter(
+                F.col("__is_dns") & (F.col("fetch_status") == FR.S_DNS_SUCCESS)
+            ).select(F.col("__server").alias("host"))
+            if self.dns_t.exists():
+                old_dns = self.dns_t.read(self.spark)
+                merged_dns = old_dns.unionByName(dns_new).dropDuplicates(["host"])
+            else:
+                merged_dns = dns_new.dropDuplicates(["host"])
+            self.dns_t.overwrite(merged_dns)
+
         # robots.txt fetch results update per-server robots state
         # (DispositionProcessor.innerProcess robots update :174-219)
         if cfg.robots == "obey":
@@ -824,6 +900,9 @@ class CrawlEngine:
                 "host_state": self.host_t.latest_version(),
                 "events": self.events_t.latest_version(),
                 "documents_out": self.documents_t.latest_version(),
+                "robots": self.robots_t.latest_version(),
+                "dns": self.dns_t.latest_version(),
+                "metrics": self.metrics_t.latest_version(),
                 "url_seen": self.urlseen.table.latest_version(),
                 "url_seen_bloom": self.urlseen.bloom_table.latest_version(),
             },

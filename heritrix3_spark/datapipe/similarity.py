@@ -170,6 +170,51 @@ def lsh_cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    LSH-bucketed: only vectors sharing a random-hyperplane bucket are
+    compared (plus nothing else — near-identical vectors almost surely
+    share the bucket at high thresholds), so the exact cosine verify never
+    goes quadratic. Returns (a, b, cosine).
+    """
+    bucketed = add_lsh_buckets(embeddings, dim, bits=bits, vec_col=vec_col)
+    left = bucketed.select(
+        "lsh_bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("__va")
+    )
+    right = bucketed.select(
+        "lsh_bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("__vb")
+    )
+    cand = left.join(right, "lsh_bucket").filter(F.col("a") < F.col("b"))
+
+    pair_schema = StructType(
+        [
+            StructField("a", LongType(), False),
+            StructField("b", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def score(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            va = _normalize(np.array(pdf["__va"].tolist(), dtype=np.float64))
+            vb = _normalize(np.array(pdf["__vb"].tolist(), dtype=np.float64))
+            cos = np.einsum("ij,ij->i", va, vb)
+            yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "cosine": cos})
+
+    scored = cand.select("a", "b", "__va", "__vb").mapInPandas(score, schema=pair_schema)
+    return scored.filter(F.col("cosine") >= threshold).dropDuplicates(["a", "b"])
+
+
 def cosine_topk_sql_expr(
     embeddings: DataFrame,
     query: list[float],

@@ -60,6 +60,7 @@ class SimConfig:
     max_rounds: int = 10_000
     preference_embed_hops: int = 1
     robots: str = "ignore"  # or "obey" (PreconditionEnforcer semantics)
+    dns: str = "ignore"  # or "obey" (dns:host prerequisites)
     user_agent: str = "heritrix3-spark"
     max_retries: int = 30
 
@@ -209,8 +210,11 @@ def simulate(
     from heritrix3_spark.operators.robots import Robotstxt
 
     robots_state: dict[str, Robotstxt] = {}
+    dns_state: set[str] = set()
 
     def _server_path(canonical: str):
+        if canonical.startswith("dns:"):
+            return "dns", canonical[4:], None
         m = _re.match(r"^([^:/?#]+)://([^/?#]*)(.*)$", canonical)
         if not m:
             return None, None, None
@@ -240,26 +244,36 @@ def simulate(
             requeue = []
             for m, curi in enumerate(take):
                 scheme, server, path_q = _server_path(curi.canonical)
+                is_dns = scheme == "dns"
                 is_robots = path_q == "/robots.txt"
                 forced = None
-                if cfg.robots == "obey" and not is_robots and server is not None:
-                    if server not in robots_state:
-                        forced = -50  # S_DEFERRED: robots unknown
-                    elif not robots_state[server].allows(cfg.user_agent, path_q):
-                        forced = -9998  # S_ROBOTS_PRECLUDED
+                reason = None
+                if server is not None and not is_dns:
+                    if cfg.dns == "obey" and server not in dns_state:
+                        forced, reason = -50, "dns"
+                    elif cfg.robots == "obey" and not is_robots:
+                        if server not in robots_state:
+                            forced, reason = -50, "robots"
+                        elif not robots_state[server].allows(cfg.user_agent, path_q):
+                            forced = -9998  # S_ROBOTS_PRECLUDED
                 if forced == -50:
                     attempts = curi.fetch_attempts + 1
                     if attempts < cfg.max_retries:
                         disposition = "retry"
                         curi.fetch_attempts = attempts
                         requeue.append(curi)
-                        # inject the /robots.txt prerequisite ('P', HIGHEST);
+                        # inject the prerequisite ('P', HIGHEST);
                         # via = trigger's canonical -> same queue
+                        prereq = (
+                            f"dns:{server}"
+                            if reason == "dns"
+                            else f"{scheme}://{server}/robots.txt"
+                        )
                         candidates.append(
                             (
                                 curi.ordinal,
                                 -1,
-                                f"{scheme}://{server}/robots.txt",
+                                prereq,
                                 curi.hops_path + "P",
                                 curi.canonical,
                                 HIGHEST,
@@ -282,7 +296,10 @@ def simulate(
                              fetch_status=-9998, disposition="disregard")
                     )
                     continue
-                status = 200 if curi.canonical in web else 404
+                if is_dns:
+                    status = 1  # S_DNS_SUCCESS (synthetic resolution)
+                else:
+                    status = 200 if curi.canonical in web else 404
                 duration = cfg.fetch_duration_ms
                 delay = int(cfg.delay_factor * duration)
                 delay = max(delay, cfg.min_delay_ms)
@@ -306,6 +323,8 @@ def simulate(
                         disposition="success",
                     )
                 )
+                if is_dns and server is not None:
+                    dns_state.add(server)
                 if cfg.robots == "obey" and is_robots and server is not None:
                     if 200 <= status < 300:
                         body = "\n".join(

@@ -72,6 +72,44 @@ def test_documents_sink_span_equality(robots_crawl):
     assert seen_ids == fetched_ok
 
 
+def test_dns_and_robots_preconditions_parity(spark, tmp_path):
+    """DNS preconditions chained before robots: dns:host prerequisite
+    ('P', HIGHEST, S_DNS_SUCCESS=1 result), then robots.txt prerequisite,
+    then the trigger — exact parity vs the simulator
+    (PreconditionEnforcer.considerDnsPreconditions analog)."""
+    h, p = 2, 4
+    web = {u: s for u, s in FX.synth_web_rows(h, p, robots=True)}
+    seeds = FX.seed_lines(h)
+    sim_log, sim_seen = simulate(web, seeds, SimConfig(robots="obey", dns="obey"))
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "dns"),
+        FX.synth_web_df(spark, h, p, robots=True),
+        CrawlConfig(
+            num_buckets=8, ordinal_partitions=1, robots="obey", dns="obey", bloom=False
+        ),
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=80)
+    srows = sorted(
+        (l["round"], l["class_key"], l["canonical"], l["ordinal"], l["fetch_status"], l["disposition"])
+        for l in sim_log
+    )
+    erows = sorted(
+        (r.round, r.class_key, r.canonical, r.ordinal, r.fetch_status, r.disposition)
+        for r in eng_log.collect()
+    )
+    assert erows == srows
+    statuses = {s for _, _, _, _, s, _ in erows}
+    assert 1 in statuses  # S_DNS_SUCCESS lookups happened
+    assert -50 in statuses  # deferrals happened
+    eng_seen = {r.fp for r in eng.urlseen.seen(spark).collect()}
+    assert eng_seen == sim_seen
+    # dns table holds every host
+    dns_hosts = {r.host for r in eng.dns_t.read(spark).collect()}
+    assert dns_hosts == {f"h{i}.example" for i in range(h)}
+
+
 def test_export_and_delete_uris(spark, tmp_path):
     """deleteURIs(queueRegex, uriRegex) + exportPendingUris laws."""
     eng = CrawlEngine(

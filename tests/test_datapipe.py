@@ -149,6 +149,26 @@ def test_cosine_topk_sql_expr_matches_bruteforce(spark, emb):
     assert ra == rb
 
 
+def test_embedding_near_dup_pairs(spark, emb):
+    """Inject near-identical vectors; only those pair at threshold 0.99."""
+    import pandas as pd
+
+    pdf = emb.limit(200).toPandas()
+    v = np.array(pdf["embedding"].iloc[0], dtype=np.float32)
+    near = (v + 0.0005).astype(np.float32)  # ~cos 1.0 with v
+    extra = pd.DataFrame(
+        {"vec_id": [90001, 90002], "embedding": [v.tolist(), near.tolist()], "label": [0, 0]}
+    )
+    df = spark.createDataFrame(pd.concat([pdf, extra], ignore_index=True))
+    pairs = SIM.embedding_near_dup_pairs(df, dim=len(v), threshold=0.99)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    # vec 0's id duplicates 90001/90002
+    vid = int(pdf["vec_id"].iloc[0])
+    assert (vid, 90001) in got and (vid, 90002) in got and (90001, 90002) in got
+    # random embeddings don't spuriously pair at 0.99
+    assert all(a in (vid, 90001, 90002) and b in (vid, 90001, 90002) for a, b in got)
+
+
 def test_multimodal_plumbing(spark):
     media = MM.synth_media_df(spark, n=30)
     feats = MM.fake_feature_extract(media).collect()
