@@ -446,7 +446,10 @@ class CrawlEngine:
             status,
         )
         fetched = (
-            fetched.withColumn("fetch_status", status)
+            # cast pins the column to int even when an overrides DataFrame
+            # supplies long statuses (mixed parquet types would break the
+            # events table's delta-append reads)
+            fetched.withColumn("fetch_status", status.cast("int"))
             .withColumn("__no_fetch", F.col("__forced_status").isNotNull())
             .withColumn("fetch_duration", F.lit(cfg.fetch_duration_ms).cast("long"))
         )
@@ -671,18 +674,29 @@ class CrawlEngine:
                 merged_rb = rb_new
             self.robots_t.overwrite(merged_rb)
 
+        # queue clock law (WorkQueueFrontier.processFinish :947-1029):
+        # deferred/precluded never fetched -> no advance; retried fetches
+        # snooze the queue by retryDelay (900s connect/DNS, not politeness —
+        # the retry branch returns before the politeness snooze); final
+        # dispositions snooze by duration+politeness. Disregarded URIs are
+        # never charged (holderCost = 0, :990).
+        row_advance = (
+            F.when(F.col("__no_fetch"), F.lit(0))
+            .when(F.col("__retry"), FR.retry_delay_col(F.col("fetch_status")))
+            .otherwise(F.col("fetch_duration") + F.col("__politeness"))
+        )
         per_host = fetched.groupBy("class_key").agg(
+            F.sum(row_advance).alias("advance"),
             F.sum(
                 F.when(
-                    ~F.col("__no_fetch"), F.col("fetch_duration") + F.col("__politeness")
-                ).otherwise(0)
-            ).alias("advance"),
-            F.sum(
-                F.when(
-                    (F.col("disposition") != "retry")
-                    | (F.col("fetch_status") != FR.S_DEFERRED),
-                    F.col("cost"),
-                ).otherwise(0)
+                    F.col("disposition") == "disregard", F.lit(0)
+                )
+                .when(
+                    (F.col("disposition") == "retry")
+                    & (F.col("fetch_status") == FR.S_DEFERRED),
+                    F.lit(0),
+                )
+                .otherwise(F.col("cost"))
             ).alias("expend"),
             F.sum(
                 F.when(F.col("disposition") == "fail", cfg.error_penalty).otherwise(0)

@@ -289,7 +289,8 @@ def simulate(
                     )
                     continue
                 if forced == -9998:
-                    q.total_expenditure += curi.cost
+                    # disregarded URIs are never charged (holderCost = 0,
+                    # WorkQueueFrontier.java:990)
                     log.append(
                         dict(round=rnd, class_key=ck, uri=curi.uri,
                              canonical=curi.canonical, ordinal=curi.ordinal,
