@@ -116,6 +116,22 @@ class CrawlConfig:
     # queue <= min(k_per_host, session_budget/unit_cost)
     session_budget: int = 3000
     metrics: bool = True
+    # queue precedence policy (frontier/precedence/*.java): "base" = constant
+    # 3 (BaseQueuePrecedencePolicy, the Heritrix default — the floor never
+    # binds); "highest_uri" recomputes queue precedence per round as
+    # base + min pending URI precedence (HighestUriQueuePrecedencePolicy).
+    # Queues at or above precedence_floor are never activated
+    # (WorkQueueFrontier.java:165-171, 595-601).
+    queue_precedence: str = "base"
+    queue_precedence_base: int = 1
+    precedence_floor: int = 255
+    # CrawlLimitEnforcer (framework/CrawlLimitEnforcer.java): stop the crawl
+    # once this many URIs have been fetched (-1 = unlimited)
+    max_fetches: int = -1
+    # URIAuthorityBasedQueueAssignmentPolicy parallelQueues: split each
+    # authority into N sub-queues keyed by first path segment (hot-host
+    # salting, the reference's own skew defeat). 1 = off (exact parity).
+    parallel_queues: int = 1
 
 
 class CrawlEngine:
@@ -238,7 +254,13 @@ class CrawlEngine:
             .withColumn("canonical", canonical_col(F.col("uri")))
             .withColumn("fp", fp_udf(F.col("canonical")))
             .withColumn(
-                "class_key", class_key_col(F.col("canonical"), F.col("hops_path"), F.col("via"))
+                "class_key",
+                class_key_col(
+                    F.col("canonical"),
+                    F.col("hops_path"),
+                    F.col("via"),
+                    parallel_queues=self.cfg.parallel_queues,
+                ),
             )
             .withColumn("cost", cost)
             .withColumn("precedence", FR.cost_uri_precedence_col(F.col("cost")))
@@ -315,6 +337,16 @@ class CrawlEngine:
         # host_state carries pending counts, so eligibility never scans the
         # frontier — at 10^10 URLs host_state is O(hosts), frontier O(URLs)
         live = hosts.filter((F.col("retired") == "n") & (F.col("pending") > 0))
+        # precedence floor: queues at/above the floor are never activated
+        # (WorkQueueFrontier.java:165-171, 595-601)
+        if cfg.queue_precedence == "highest_uri":
+            qp = FR.highest_uri_queue_precedence(frontier, cfg.queue_precedence_base)
+            live = live.join(qp, "class_key", "left").filter(
+                F.coalesce(F.col("queue_precedence"), F.lit(FR.DEFAULT_QUEUE_PRECEDENCE))
+                < cfg.precedence_floor
+            )
+        elif FR.DEFAULT_QUEUE_PRECEDENCE >= cfg.precedence_floor:
+            live = live.limit(0)  # constant base precedence at/above floor
         live_stats = live.agg(
             F.count("*").alias("n_live"),
             F.min("wake_time").alias("min_wake"),
@@ -757,8 +789,10 @@ class CrawlEngine:
 
         timer.mark("host-write")
         # --- per-round metrics snapshot (CrawlStatSnapshot analog) ----------
+        # CrawlLimitEnforcer: global fetch cap
+        n_fetched = fetched.count()  # cached
+        self.total_fetched = getattr(self, "total_fetched", 0) + n_fetched
         if cfg.metrics:
-            n_fetched = fetched.count()  # cached
             depth = (
                 self.host_t.read(self.spark)
                 .filter(F.col("pending") > 0)
@@ -796,6 +830,8 @@ class CrawlEngine:
         novel_rows.unpersist()
         self.round += 1
         self._checkpoint()
+        if cfg.max_fetches >= 0 and self.total_fetched >= cfg.max_fetches:
+            return False  # CrawlLimitEnforcer: stop crawl
         return True
 
     def run(self, max_rounds: int | None = None) -> DataFrame:

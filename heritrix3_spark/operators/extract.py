@@ -213,6 +213,20 @@ def extract_js_udf(js: pd.Series) -> pd.Series:
     return pd.Series([_extract_js_one(j) for j in js.fillna("")])
 
 
+def _extract_css_one(css: str) -> list[tuple]:
+    """ExtractorCSS.java:79-152: @import / url(...) references -> 'E' hop."""
+    if not css:
+        return []
+    return [
+        (m.group(2).strip(), "css/url()", "E") for m in _RE_CSS_URL.finditer(css)
+    ][:MAX_OUTLINKS]
+
+
+@pandas_udf(ArrayType(OUTLINK_TYPE))
+def extract_css_udf(css: pd.Series) -> pd.Series:
+    return pd.Series([_extract_css_one(c) for c in css.fillna("")])
+
+
 def extract_http_headers(
     df: DataFrame,
     base_col: str = "uri",

@@ -216,6 +216,41 @@ def hops_uri_precedence_col(hops_path: Column, base_precedence: int = 1) -> Colu
 
 
 # ---------------------------------------------------------------------------
+# queue precedence policies (frontier/precedence/*.java)
+# ---------------------------------------------------------------------------
+def base_queue_precedence() -> Column:
+    """BaseQueuePrecedencePolicy.java:42-76: constant basePrecedence(3)."""
+    return F.lit(DEFAULT_QUEUE_PRECEDENCE)
+
+
+def highest_uri_queue_precedence(frontier: DataFrame, base_precedence: int = 1) -> DataFrame:
+    """HighestUriQueuePrecedencePolicy.java:39-90: queue precedence = base +
+    the minimum precedence among the queue's enqueued URIs (the reference
+    maintains this as an incremental histogram; per-round it is one grouped
+    min over pending rows). Returns (class_key, queue_precedence)."""
+    return frontier.groupBy("class_key").agg(
+        (F.lit(base_precedence) + F.min("precedence")).cast("int").alias("queue_precedence")
+    )
+
+
+def success_counts_queue_precedence(
+    crawl_log: DataFrame, thresholds: tuple[int, ...] = (100, 1000), base_precedence: int = 3
+) -> DataFrame:
+    """SuccessCountsQueuePrecedencePolicy.java:69-100: precedence grows one
+    step per crossed success-count threshold. Returns
+    (class_key, queue_precedence)."""
+    successes = (
+        crawl_log.filter(F.col("disposition") == "success")
+        .groupBy("class_key")
+        .agg(F.count("*").alias("__n"))
+    )
+    prec = F.lit(base_precedence)
+    for t in thresholds:
+        prec = prec + F.when(F.col("__n") >= t, 1).otherwise(0)
+    return successes.select("class_key", prec.cast("int").alias("queue_precedence"))
+
+
+# ---------------------------------------------------------------------------
 # disposition laws
 # ---------------------------------------------------------------------------
 def is_success_col(fetch_status: Column) -> Column:
