@@ -86,6 +86,25 @@ def test_checkpoint_resume_midcrawl(spark, smoke_crawl):
     assert _eng_rows(resumed_log) == full
 
 
+def test_k_per_host_politeness_serialization(spark, tmp_path):
+    """k>1 throughput mode: within a round a queue's m-th fetch begins at
+    T + m*(duration+politeness) — the serialized politeness clock must
+    match the simulator exactly."""
+    h, p = 2, 6
+    web = {u: s for u, s in FX.synth_web_rows(h, p)}
+    seeds = FX.seed_lines(h)
+    sim_log, sim_seen = simulate(web, seeds, SimConfig(k_per_host=3))
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "k3"),
+        FX.synth_web_df(spark, h, p),
+        CrawlConfig(num_buckets=4, ordinal_partitions=1, k_per_host=3, bloom=False),
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=40)
+    assert _eng_rows(eng_log) == _sim_rows(sim_log)
+
+
 def test_total_budget_retirement(spark, tmp_path):
     """Low queueTotalBudget retires queues; engine == simulator
     (WorkQueueFrontier.isOverTotalBudget law)."""
