@@ -178,6 +178,7 @@ class CrawlEngine:
         self.round = 0
         self.clock = 0
         self.next_ordinal = 1
+        self.total_fetched = 0
         self.seed_prefixes: list[str] = []
 
     # ------------------------------------------------------------------
@@ -791,7 +792,7 @@ class CrawlEngine:
         # --- per-round metrics snapshot (CrawlStatSnapshot analog) ----------
         # CrawlLimitEnforcer: global fetch cap
         n_fetched = fetched.count()  # cached
-        self.total_fetched = getattr(self, "total_fetched", 0) + n_fetched
+        self.total_fetched += n_fetched
         if cfg.metrics:
             depth = (
                 self.host_t.read(self.spark)
@@ -962,6 +963,7 @@ class CrawlEngine:
                 "next_ordinal": self.next_ordinal,
                 "seed_prefixes": self.seed_prefixes,
                 "approx_seen": self.urlseen.approx_seen,
+                "total_fetched": self.total_fetched,
             },
         )
 
@@ -988,6 +990,7 @@ class CrawlEngine:
         eng.next_ordinal = st["next_ordinal"]
         eng.seed_prefixes = st["seed_prefixes"]
         eng.urlseen.approx_seen = st.get("approx_seen", 0)
+        eng.total_fetched = st.get("total_fetched", 0)
         # roll tables back to the checkpointed snapshot (time-travel) by
         # re-committing those versions as latest when newer ones exist
         for name, ver in ck["tables"].items():
