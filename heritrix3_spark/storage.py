@@ -124,6 +124,26 @@ class SnapshotTable:
                 return json.load(f)
         return {}
 
+    def prune_except(self, keep_versions: set[int]) -> None:
+        """Drop every snapshot dir not reachable from ``keep_versions`` or
+        the current latest (checkpoint-aware GC for long crawls)."""
+        live: set[int] = set(self._parents(self.latest_version()))
+        for v in keep_versions:
+            if v > 0:
+                live |= set(self._parents(v))
+        for entry in os.listdir(self.dir):
+            if not entry.startswith("v"):
+                continue
+            try:
+                v = int(entry[1:])
+            except ValueError:
+                continue
+            if v not in live:
+                shutil.rmtree(os.path.join(self.dir, entry), ignore_errors=True)
+                meta = os.path.join(self.dir, f"_meta_v{v:08d}.json")
+                if os.path.exists(meta):
+                    os.remove(meta)
+
     def prune(self, keep_last: int = 3) -> None:
         """Drop snapshots older than the last ``keep_last`` (journal GC).
 
@@ -170,3 +190,23 @@ class SnapshotCatalog:
             for f in os.listdir(self.root)
             if f.startswith("checkpoint_") and f.endswith(".json")
         )
+
+    def prune_checkpoints(self, keep_last: int = 5) -> list[str]:
+        """Keep only the newest ``keep_last`` checkpoints and GC every table
+        snapshot no kept checkpoint (or current latest) references.
+        Returns the kept tags. (Iceberg expire_snapshots analog.)
+        """
+        tags = self.list_checkpoints()
+        kept, dropped = tags[-keep_last:], tags[:-keep_last]
+        keep_by_table: dict[str, set[int]] = {}
+        for tag in kept:
+            ck = self.read_checkpoint(tag) or {}
+            for name, ver in ck.get("tables", {}).items():
+                keep_by_table.setdefault(name, set()).add(ver)
+        for name, versions in keep_by_table.items():
+            self.table(name).prune_except(versions)
+        for tag in dropped:
+            path = os.path.join(self.root, f"checkpoint_{tag}.json")
+            if os.path.exists(path):
+                os.remove(path)
+        return kept

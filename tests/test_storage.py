@@ -61,6 +61,44 @@ def test_prune_keeps_live_chain(spark, tmp_path):
     assert not os.path.exists(t.snapshot_path(1))
 
 
+def test_checkpoint_aware_gc_keeps_resume_working(spark, tmp_path):
+    """prune_checkpoints GCs history but every kept checkpoint stays
+    resumable (Iceberg expire_snapshots analog)."""
+    import os
+
+    from heritrix3_spark import fixtures as FX
+    from heritrix3_spark.crawler import CrawlConfig, CrawlEngine
+
+    state = str(tmp_path / "gc")
+    eng = CrawlEngine(
+        spark,
+        state,
+        FX.synth_web_df(spark, 2, 4),
+        CrawlConfig(num_buckets=4, ordinal_partitions=1, bloom=False),
+    )
+    eng.bootstrap(FX.seed_lines(2))
+    eng.run(max_rounds=6)
+    all_tags = eng.catalog.list_checkpoints()
+    assert len(all_tags) >= 5
+    n_dirs_before = sum(len(os.listdir(f"{state}/{t}")) for t in ("events", "frontier"))
+    kept = eng.catalog.prune_checkpoints(keep_last=2)
+    assert kept == all_tags[-2:]
+    assert eng.catalog.list_checkpoints() == kept
+    n_dirs_after = sum(len(os.listdir(f"{state}/{t}")) for t in ("events", "frontier"))
+    assert n_dirs_after < n_dirs_before  # actually freed something
+    # resume from the oldest KEPT checkpoint and finish the crawl
+    eng2 = CrawlEngine.resume(
+        spark,
+        state,
+        FX.synth_web_df(spark, 2, 4),
+        CrawlConfig(num_buckets=4, ordinal_partitions=1, bloom=False),
+        tag=kept[0],
+    )
+    log = eng2.run(max_rounds=30)
+    assert log.count() > 0
+    assert eng2.export_pending_uris().count() == 0  # crawl completed
+
+
 def test_catalog_checkpoints(tmp_path):
     cat = SnapshotCatalog(str(tmp_path))
     cat.write_checkpoint("r000001", {"t": 3}, {"clock": 42})
