@@ -132,6 +132,13 @@ class CrawlConfig:
     # authority into N sub-queues keyed by first path segment (hot-host
     # salting, the reference's own skew defeat). 1 = off (exact parity).
     parallel_queues: int = 1
+    # sheet overlays (org.archive.spring.Sheet / SheetOverlaysManager,
+    # commons/.../spring/Sheet.java:50, profile-crawler-beans.cxml:691):
+    # per-SURT-prefix config overrides, applied to a queue when its
+    # class_key starts with the given SURT-authority prefix. Supported
+    # overlay keys: "total_budget", "k_per_host".
+    # e.g. [{"surt_prefix": "example,hot,", "total_budget": 5, "k_per_host": 2}]
+    overlays: tuple = ()
 
 
 class CrawlEngine:
@@ -268,6 +275,23 @@ class CrawlEngine:
         )
         return out
 
+    def _overlay_col(self, key: str, default):
+        """Sheet-overlay value for ``key`` by class_key SURT-prefix match
+        (first matching overlay wins — the reference applies the
+        most-specific sheet; ordering the overlay list most-specific-first
+        reproduces that). Returns ``default`` when nothing matches."""
+        expr = None
+        for ov in self.cfg.overlays:
+            if key not in ov:
+                continue
+            cond = F.col("class_key").startswith(ov["surt_prefix"])
+            expr = (
+                F.when(cond, F.lit(ov[key]))
+                if expr is None
+                else expr.when(cond, F.lit(ov[key]))
+            )
+        return default if expr is None else expr.otherwise(default)
+
     # ------------------------------------------------------------------
     # deterministic scalable ordinal assignment
     # ------------------------------------------------------------------
@@ -362,8 +386,15 @@ class CrawlEngine:
         eligible_keys = live.filter(F.col("wake_time") <= self.clock).select("class_key")
         # session budget caps per-activation spend (unit cost): see CrawlConfig
         k_eff = min(cfg.k_per_host, max(1, cfg.session_budget))
-        emitted = FR.head_pick(
-            frontier.join(F.broadcast(eligible_keys), "class_key"), k=k_eff
+        # sheet overlays may override k per queue (first matching prefix wins)
+        k_col = self._overlay_col("k_per_host", F.lit(k_eff))
+        joined = frontier.join(
+            F.broadcast(eligible_keys.withColumn("__k", k_col)), "class_key"
+        )
+        emitted = (
+            FR.queue_rank(joined)
+            .filter(F.col("queue_rank") <= F.col("__k"))
+            .drop("queue_rank", "__k")
         )
 
         # --- precondition gate: DNS first, then robots (PreconditionEnforcer
@@ -777,14 +808,16 @@ class CrawlEngine:
                 ),
                 F.col("retired"),
             )
+            .withColumn("__budget", self._overlay_col("total_budget", F.lit(cfg.total_budget)))
             .withColumn(
                 "retired",
                 F.when(
-                    (F.lit(cfg.total_budget) >= 0)
-                    & (F.col("total_expenditure") >= cfg.total_budget),
+                    (F.col("__budget") >= 0)
+                    & (F.col("total_expenditure") >= F.col("__budget")),
                     F.lit("y"),
                 ).otherwise(F.col("retired")),
             )
+            .drop("__budget")
         )
         self.host_t.overwrite(updated)
 

@@ -63,6 +63,9 @@ class SimConfig:
     dns: str = "ignore"  # or "obey" (dns:host prerequisites)
     user_agent: str = "heritrix3-spark"
     max_retries: int = 30
+    # sheet overlays: ({"surt_prefix", "total_budget"?, "k_per_host"?}, ...)
+    # first matching prefix wins (see CrawlConfig.overlays)
+    overlays: tuple = ()
 
 
 @dataclass
@@ -234,11 +237,17 @@ def simulate(
         if not eligible:
             T = max(T + 1, min(q.wake_time for q in live.values()))
             eligible = {ck: q for ck, q in live.items() if q.wake_time <= T}
+        def overlay(ck, key, default):
+            for ov in cfg.overlays:
+                if key in ov and ck.startswith(ov["surt_prefix"]):
+                    return ov[key]
+            return default
+
         candidates = []  # (parent_ordinal, outlink_index, url, hops, via)
         for ck in sorted(eligible):
             q = eligible[ck]
             q.pending.sort(key=_sort_key)
-            take = q.pending[: cfg.k_per_host]
+            take = q.pending[: overlay(ck, "k_per_host", cfg.k_per_host)]
             q.pending = q.pending[len(take) :]
             t_host = T
             requeue = []
@@ -347,7 +356,8 @@ def simulate(
                         )
             q.pending.extend(requeue)
             q.wake_time = t_host
-            if cfg.total_budget >= 0 and q.total_expenditure >= cfg.total_budget:
+            budget = overlay(ck, "total_budget", cfg.total_budget)
+            if budget >= 0 and q.total_expenditure >= budget:
                 q.retired = True  # isOverTotalBudget -> retireQueue
         # candidate processing in discovery order (prereqs sort first: -1)
         candidates.sort(key=lambda c: (c[0], c[1]))

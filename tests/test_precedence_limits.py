@@ -112,6 +112,42 @@ def test_parallel_queue_salting_in_engine(spark, tmp_path):
     assert base  # segment-less URIs (the seed) stay on the unsuffixed queue
 
 
+def test_sheet_overlays_parity(spark, tmp_path):
+    """Per-SURT-prefix sheet overlays (Sheet/SheetOverlaysManager analog,
+    commons/.../spring/Sheet.java:50): h0 gets a tiny total budget (early
+    retirement) and h1 a larger k — engine matches the simulator exactly."""
+    from heritrix3_spark.simulator import SimConfig, simulate
+
+    overlays = (
+        {"surt_prefix": "example,h0,", "total_budget": 3},
+        {"surt_prefix": "example,h1,", "k_per_host": 3},
+    )
+    h, p = 2, 6
+    web = {u: s for u, s in FX.synth_web_rows(h, p)}
+    seeds = FX.seed_lines(h)
+    sim_log, _ = simulate(web, seeds, SimConfig(overlays=overlays))
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "sheets"),
+        FX.synth_web_df(spark, h, p),
+        CrawlConfig(num_buckets=4, ordinal_partitions=1, bloom=False, overlays=overlays),
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=40)
+    srows = sorted(
+        (l["round"], l["class_key"], l["canonical"], l["ordinal"], l["disposition"])
+        for l in sim_log
+    )
+    erows = sorted(
+        (r.round, r.class_key, r.canonical, r.ordinal, r.disposition)
+        for r in eng_log.collect()
+    )
+    assert erows == srows
+    hosts = {r.class_key: r.retired for r in eng.host_t.read(spark).collect()}
+    assert hosts["example,h0,"] == "y"  # overlay budget retired h0
+    assert hosts["example,h1,"] == "n"  # h1 ran to completion under k=3
+
+
 def test_extract_css_standalone(spark):
     css = "@import url('/theme.css'); .a { background: url(img/bg.png); }"
     df = spark.createDataFrame([(css,)], ["css"])
