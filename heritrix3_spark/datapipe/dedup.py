@@ -9,10 +9,16 @@ Scale shapes:
 * SimHash — 64-bit signature; near-dup candidates share >=1 of 4 exact
   16-bit bands (guarantees recall for Hamming distance <= 3).
 * cluster representative — iterative min-propagation over candidate pairs
-  (connected components by halving), bounded iterations.
+  (connected components), each iteration localCheckpoint'ed so lineage
+  stays O(1) and the convergence check never re-executes the LSH join.
+* band-bucket skew guard — a degenerate band value (empty/boilerplate
+  docs) would make one bucket's self-join quadratic; every band join caps
+  bucket size and LOGS the number of dropped buckets (no silent caps).
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
@@ -20,6 +26,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
+
+logger = logging.getLogger(__name__)
+
+# A band bucket larger than this is a degenerate key (boilerplate/empty
+# docs): its self-join is O(cap^2). Buckets over the cap are dropped with a
+# logged count. 1000 bounds any single bucket's pair fan-out at ~500k while
+# leaving realistic near-dup buckets (tens of docs) untouched.
+DEFAULT_MAX_BUCKET = 1000
+
+
+def _cap_band_buckets(bands: DataFrame, keys: list[str], max_bucket: int | None, label: str) -> DataFrame:
+    """Drop band buckets with > max_bucket members, logging how many.
+
+    The oversized-keys frame is tiny (only degenerate keys), so the
+    anti-join broadcasts; the count() that produces the log line runs on
+    the persisted bands frame, not a recompute of the signature UDF.
+    """
+    if not max_bucket:
+        return bands
+    bands = bands.persist()
+    big = (
+        bands.groupBy(*keys)
+        .agg(F.count("*").alias("__bucket_n"))
+        .filter(F.col("__bucket_n") > max_bucket)
+        .persist()
+    )
+    n_big = big.count()
+    if n_big:
+        logger.warning(
+            "%s: dropping %d band bucket(s) larger than %d members (skew guard)",
+            label,
+            n_big,
+            max_bucket,
+        )
+        return bands.join(F.broadcast(big.select(*keys)), keys, "left_anti")
+    big.unpersist()
+    return bands
 
 # deterministic MinHash parameters
 _MERSENNE = (1 << 61) - 1
@@ -124,9 +167,17 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return bands
 
 
-def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Candidate near-dup pairs (a < b) sharing >= 1 LSH band bucket."""
-    bands = minhash_bands(df, id_col, text_col)
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_bucket: int | None = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing >= 1 LSH band bucket.
+
+    Bucket sizes are capped (skew guard, logged) so no degenerate band
+    value can make the bucket self-join quadratic.
+    """
+    bands = _cap_band_buckets(
+        minhash_bands(df, id_col, text_col), ["band_id", "band_hash"], max_bucket, "minhash"
+    )
     left = bands.select("band_id", "band_hash", F.col("id").alias("a"))
     right = bands.select("band_id", "band_hash", F.col("id").alias("b"))
     return (
@@ -138,13 +189,32 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFr
 
 
 def minhash_dedup_clusters(
-    df: DataFrame, id_col: str, text_col: str, max_iter: int = 10
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_iter: int = 10,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(id, cluster_id): connected components over LSH candidate pairs via
-    iterative min-label propagation (converges in <= diameter rounds;
-    near-dup clusters are tiny, so 2-3 rounds in practice)."""
-    pairs = minhash_candidate_pairs(df, id_col, text_col).persist()
-    labels = df.select(F.col(id_col).alias("id")).withColumn("cluster_id", F.col("id"))
+    iterative min-label propagation (converges in <= component diameter
+    rounds; near-dup clusters are tiny, so 2-3 rounds in practice).
+
+    Scale discipline: ``pairs`` is persisted once; every iteration's label
+    frame is ``localCheckpoint``-ed so (a) lineage stays O(1) instead of
+    growing one join per iteration, and (b) the convergence check reads the
+    materialized frame — the LSH join is executed exactly once, not
+    O(iterations) times. The old/new label comparison rides in the same
+    frame (``old_cid`` column), so convergence costs one cheap count on
+    checkpointed data, no extra join. For web-scale components with large
+    diameters, swap the propagation loop for large-star/small-star; near-dup
+    clusters (the use case here) have diameter ~2.
+    """
+    pairs = minhash_candidate_pairs(df, id_col, text_col, max_bucket=max_bucket).persist()
+    labels = (
+        df.select(F.col(id_col).alias("id"))
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
     sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     for _ in range(max_iter):
         neigh = (
@@ -152,34 +222,38 @@ def minhash_dedup_clusters(
             .groupBy("a")
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = (
+        upd = (
             labels.join(neigh, labels["id"] == neigh["a"], "left")
             .select(
                 "id",
+                F.col("cluster_id").alias("old_cid"),
                 F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
                     "cluster_id"
                 ),
             )
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("cluster_id") != F.col("old_cid")).count()
+        labels = upd.select("id", "cluster_id")
         if changed == 0:
             break
     pairs.unpersist()
     return labels
 
 
-def simhash_dedup(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """Near-dup pairs by SimHash banding + exact Hamming verify.
 
     4 bands of 16 bits: any pair within Hamming distance 3 shares at least
     one exact band (pigeonhole), so banding has full recall for d<=3.
+    Band buckets over ``max_bucket`` are dropped with a logged count (skew
+    guard — e.g. sig=0 from empty docs would otherwise go quadratic).
     """
     sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
     bands = sig.select(
@@ -194,6 +268,7 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
             )
         ).alias("band_id", "band_val"),
     )
+    bands = _cap_band_buckets(bands, ["band_id", "band_val"], max_bucket, "simhash")
     left = bands.select("band_id", "band_val", F.col("id").alias("a"), F.col("sig").alias("sig_a"))
     right = bands.select("band_id", "band_val", F.col("id").alias("b"), F.col("sig").alias("sig_b"))
     cand = (

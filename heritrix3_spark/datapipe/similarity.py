@@ -170,6 +170,16 @@ def lsh_cosine_topk(
     )
 
 
+def suggest_bits(n_rows: int, target_bucket: int = 256) -> int:
+    """Hyperplane count so the mean bucket holds ~target_bucket vectors:
+    bits = ceil(log2(n / target_bucket)). At 10^9 vectors / target 256 ->
+    22 bits; fixed bits would leave ~10^6-row buckets whose self-join goes
+    quadratic."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_rows / max(target_bucket, 1), 2))))
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,
@@ -177,6 +187,7 @@ def embedding_near_dup_pairs(
     bits: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
@@ -184,8 +195,17 @@ def embedding_near_dup_pairs(
     compared (plus nothing else — near-identical vectors almost surely
     share the bucket at high thresholds), so the exact cosine verify never
     goes quadratic. Returns (a, b, cosine).
+
+    Scale knobs: pick ``bits`` with :func:`suggest_bits` so the mean bucket
+    stays small as N grows; ``max_bucket`` additionally drops degenerate
+    buckets (e.g. the all-zeros bucket from null embeddings) with a logged
+    count, bounding the worst single bucket's self-join.
     """
     bucketed = add_lsh_buckets(embeddings, dim, bits=bits, vec_col=vec_col)
+    if max_bucket:
+        from heritrix3_spark.datapipe.dedup import _cap_band_buckets
+
+        bucketed = _cap_band_buckets(bucketed, ["lsh_bucket"], max_bucket, "embedding_near_dup")
     left = bucketed.select(
         "lsh_bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("__va")
     )

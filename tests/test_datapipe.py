@@ -91,6 +91,43 @@ def test_minhash_candidates_and_clusters(spark):
     assert labels[3] == 3 and labels[5] == 5
 
 
+def test_band_bucket_skew_cap(spark, caplog):
+    """Degenerate band values (30 identical docs) exceed the cap: the
+    bucket is dropped with a logged count, not self-joined quadratically."""
+    import logging
+
+    rows = [(i, "boilerplate page body repeated verbatim " * 4) for i in range(30)]
+    rows += [(100, "a genuinely unique document about something else entirely")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with caplog.at_level(logging.WARNING, logger="heritrix3_spark.datapipe.dedup"):
+        capped = DD.minhash_candidate_pairs(df, "doc_id", "text", max_bucket=10).count()
+    assert capped == 0
+    assert any("skew guard" in r.message for r in caplog.records)
+    # without the cap binding, the identical docs all pair
+    assert DD.minhash_candidate_pairs(df, "doc_id", "text").count() == 30 * 29 // 2
+
+
+def test_minhash_cluster_chain_converges(spark):
+    """Sliding-window docs form a pair chain with no direct 0-3 edge
+    (verified: banding is deterministic), so min-label propagation needs
+    >1 round; all members collapse to the min id."""
+    vocab = [f"w{i:03d}" for i in range(75)]
+    rows = [(i, " ".join(vocab[i * 5 : i * 5 + 60])) for i in range(4)]
+    rows.append((9, "unrelated content entirely " * 15))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.a, r.b) for r in DD.minhash_candidate_pairs(df, "doc_id", "text").collect()}
+    assert (0, 3) not in pairs and (1, 3) in pairs  # 3 reaches 0 only via hops
+    labels = {r.id: r.cluster_id for r in DD.minhash_dedup_clusters(df, "doc_id", "text").collect()}
+    assert labels[0] == labels[1] == labels[2] == labels[3] == 0
+    assert labels[9] == 9
+
+
+def test_suggest_bits_scales():
+    assert SIM.suggest_bits(10**9, target_bucket=256) == 22
+    assert SIM.suggest_bits(1000, target_bucket=256) == 4
+    assert SIM.suggest_bits(10**6, target_bucket=256) == 12
+
+
 def test_simhash_near_dups(spark):
     df = _near_dup_corpus(spark)
     pairs = {(r.a, r.b): r.hamming for r in DD.simhash_dedup(df, "doc_id", "text", max_hamming=3).collect()}
