@@ -132,6 +132,13 @@ class CrawlConfig:
     # authority into N sub-queues keyed by first path segment (hot-host
     # salting, the reference's own skew defeat). 1 = off (exact parity).
     parallel_queues: int = 1
+    # futureUris / rescheduleTime (WorkQueueFrontier.checkFutures
+    # :743-760, CrawlURI.rescheduleTime :1650-1653): >=0 re-schedules every
+    # successful non-prerequisite fetch for a forced re-visit at
+    # round_start_clock + interval; matured futures re-enter their queue
+    # (same ordinal, attempts reset) at the start of the first round whose
+    # clock has reached their reschedule_time. -1 = off.
+    recrawl_interval_ms: int = -1
     # sheet overlays (org.archive.spring.Sheet / SheetOverlaysManager,
     # commons/.../spring/Sheet.java:50, profile-crawler-beans.cxml:691):
     # per-SURT-prefix config overrides, applied to a queue when its
@@ -180,6 +187,9 @@ class CrawlEngine:
         self.metrics_t = self.catalog.table("metrics")
         # resolved hosts (CrawlHost/BdbServerCache analog)
         self.dns_t = self.catalog.table("dns")
+        # futureUris held for forced re-visit (WorkQueueFrontier.futureUris
+        # sorted map analog): FRONTIER_SCHEMA + reschedule_time
+        self.futures_t = self.catalog.table("futures")
         self.overrides = fetch_status_overrides
         # driver-held scalars (checkpointed)
         self.round = 0
@@ -187,6 +197,8 @@ class CrawlEngine:
         self.next_ordinal = 1
         self.total_fetched = 0
         self.seed_prefixes: list[str] = []
+        # frames persisted for the duration of one round (freed at round end)
+        self._round_caches: list[DataFrame] = []
 
     # ------------------------------------------------------------------
     # bootstrap
@@ -359,6 +371,42 @@ class CrawlEngine:
         frontier = self.frontier_t.read(self.spark)
         hosts = self.host_t.read(self.spark)
 
+        # --- futureUris maturation (checkFutures,
+        # WorkQueueFrontier.java:743-760): matured rows re-enter their
+        # queues (same ordinal — they are already in url_seen and bypass
+        # dedup, exactly like the reference's futureUris re-receive) -------
+        min_future: int | None = None
+        if self.futures_t.exists():
+            futures = self.futures_t.read(self.spark)
+            matured = (
+                futures.filter(F.col("reschedule_time") <= self.clock)
+                .drop("reschedule_time")
+                .persist()
+            )
+            if matured.count():
+                frontier = frontier.unionByName(matured)
+                self.futures_t.overwrite(
+                    futures.filter(F.col("reschedule_time") > self.clock)
+                )
+                madd = matured.groupBy("class_key").agg(
+                    F.count("*").cast("long").alias("__madd")
+                )
+                hosts = (
+                    hosts.join(madd, "class_key", "left")
+                    .withColumn(
+                        "pending",
+                        F.col("pending") + F.coalesce(F.col("__madd"), F.lit(0)),
+                    )
+                    .drop("__madd")
+                )
+            matured.unpersist()
+            mf = (
+                self.futures_t.read(self.spark)
+                .agg(F.min("reschedule_time"))
+                .collect()[0][0]
+            )
+            min_future = int(mf) if mf is not None else None
+
         # host_state carries pending counts, so eligibility never scans the
         # frontier — at 10^10 URLs host_state is O(hosts), frontier O(URLs)
         live = hosts.filter((F.col("retired") == "n") & (F.col("pending") > 0))
@@ -378,10 +426,20 @@ class CrawlEngine:
             F.sum(F.when(F.col("wake_time") <= self.clock, 1).otherwise(0)).alias("n_eligible"),
         ).collect()[0]
         if not live_stats.n_live:
+            if min_future is not None:
+                # only futures remain: jump the clock to the earliest
+                # reschedule_time; they mature at the next round's start
+                self.clock = max(self.clock + 1, min_future)
+                self.round += 1
+                self._checkpoint()
+                return True
             return False
         timer.mark("eligibility-collect")
         if live_stats.n_eligible == 0:
-            self.clock = max(self.clock + 1, live_stats.min_wake)
+            wake_targets = [live_stats.min_wake]
+            if min_future is not None:
+                wake_targets.append(min_future)
+            self.clock = max(self.clock + 1, min(wake_targets))
 
         eligible_keys = live.filter(F.col("wake_time") <= self.clock).select("class_key")
         # session budget caps per-activation spend (unit cost): see CrawlConfig
@@ -414,12 +472,33 @@ class CrawlEngine:
                 "__is_robots",
                 F.col("canonical").rlike(r"^[^:/?#]+://[^/?#]*/robots\.txt$"),
             )
+            # The dns/robots state tables are unbounded (one row per server
+            # ever seen — 10^6-10^8 at web scale, robots bodies <=500KB
+            # each), so they must NEVER be broadcast. Instead: persist the
+            # round's emitted set (bounded by k x |eligible hosts|), derive
+            # its distinct server list, SEMI-JOIN the state tables down to
+            # exactly this round's servers (that prune is what broadcasts —
+            # the bounded server-name list, not the tables), then join the
+            # pruned remnant back. AQE picks broadcast for the remnant when
+            # it is small and a co-partitioned shuffle join when it isn't.
+            # eager: broadcast subtrees run as separate driver jobs BEFORE
+            # the main job, so a lazy cache would let each of them re-execute
+            # the emitted lineage (frontier scan + head-pick window)
+            emitted = emitted.persist()
+            emitted.count()
+            self._round_caches.append(emitted)
+            round_servers = emitted.select(F.col("__server").alias("__srv")).distinct()
             if cfg.dns == "obey" and self.dns_t.exists():
                 dns = self.dns_t.read(self.spark).select(
                     F.col("host").alias("__dns_host"), F.lit(True).alias("__dns_known")
                 )
+                dns = dns.join(
+                    F.broadcast(round_servers),
+                    dns["__dns_host"] == F.col("__srv"),
+                    "left_semi",
+                )
                 emitted = emitted.join(
-                    F.broadcast(dns), emitted["__server"] == F.col("__dns_host"), "left"
+                    dns, emitted["__server"] == F.col("__dns_host"), "left"
                 ).drop("__dns_host")
                 emitted = emitted.withColumn(
                     "__dns_known", F.coalesce(F.col("__dns_known"), F.lit(False))
@@ -439,8 +518,13 @@ class CrawlEngine:
                         F.col("server").alias("__rb_server"),
                         F.col("body").alias("__rb_body"),
                     )
+                    rb = rb.join(
+                        F.broadcast(round_servers),
+                        rb["__rb_server"] == F.col("__srv"),
+                        "left_semi",
+                    )
                     emitted = emitted.join(
-                        F.broadcast(rb), emitted["__server"] == F.col("__rb_server"), "left"
+                        rb, emitted["__server"] == F.col("__rb_server"), "left"
                     ).drop("__rb_server")
                 else:
                     emitted = emitted.withColumn("__rb_body", F.lit(None).cast("string"))
@@ -667,6 +751,40 @@ class CrawlEngine:
         )
 
         timer.mark("events-append")
+        # --- futureUris scheduling (rescheduleTime, CrawlURI.java:1650-1653):
+        # every successful non-prerequisite fetch re-visits at
+        # round_start + interval. Tag 'Fu' in the journal (the reference
+        # journals the eventual re-receive via its normal tags).
+        if cfg.recrawl_interval_ms >= 0:
+            fut_rows = fetched.filter(
+                (F.col("disposition") == "success")
+                & ~F.col("__is_dns")
+                & ~F.col("__is_robots")
+            ).select(
+                "uri", "canonical", "fp", "class_key", "is_seed", "hops_path",
+                "via", "via_context", "sched_directive", "precedence", "cost",
+                "ordinal",
+                F.lit(0).alias("fetch_attempts"),
+                F.lit(False).alias("force_fetch"),
+                F.lit(self.clock + cfg.recrawl_interval_ms).cast("long").alias(
+                    "reschedule_time"
+                ),
+            )
+            self.futures_t.append(fut_rows)
+            self.events_t.append(
+                fut_rows.select(
+                    F.lit(self.round).alias("round"),
+                    F.lit("Fu").alias("tag"),
+                    "class_key",
+                    "uri",
+                    "canonical",
+                    "ordinal",
+                    F.lit(None).cast("int").alias("fetch_status"),
+                    F.lit(None).cast("string").alias("disposition"),
+                    "is_seed",
+                )
+            )
+
         # --- frontier update ---------------------------------------------
         emitted_keys = fetched.select("fp").withColumnRenamed("fp", "__done_fp")
         retries = (
@@ -862,6 +980,9 @@ class CrawlEngine:
             self.metrics_t.append(metrics_row)
         fetched.unpersist()
         novel_rows.unpersist()
+        for df in self._round_caches:
+            df.unpersist()
+        self._round_caches.clear()
         self.round += 1
         self._checkpoint()
         if cfg.max_fetches >= 0 and self.total_fetched >= cfg.max_fetches:
@@ -879,9 +1000,10 @@ class CrawlEngine:
     # outputs & checkpointing
     # ------------------------------------------------------------------
     def crawl_log(self) -> DataFrame:
-        """Disposition rows only (crawl.log analog)."""
+        """Disposition rows only (crawl.log analog) — schedule events (F+)
+        and future-reschedule events (Fu) are journal-only."""
         ev = self.events_t.read(self.spark)
-        return ev.filter(F.col("tag") != "F+").drop("tag", "is_seed")
+        return ev.filter(~F.col("tag").isin("F+", "Fu")).drop("tag", "is_seed")
 
     def journal(self) -> DataFrame:
         """Full event journal incl. F+ schedule events (recover.gz analog)."""
@@ -989,6 +1111,7 @@ class CrawlEngine:
                 "metrics": self.metrics_t.latest_version(),
                 "url_seen": self.urlseen.table.latest_version(),
                 "url_seen_bloom": self.urlseen.bloom_table.latest_version(),
+                "futures": self.futures_t.latest_version(),
             },
             state={
                 "round": self.round,

@@ -20,12 +20,17 @@ bucketed fingerprint table:
   to FPMergeUriUniqFilter's batch merge of a sorted pending set against a
   sorted store (its flush() IS a merge anti-join);
 * an optional **partitioned bloom pre-filter** (north rule: replaces
-  BdbUriUniqFilter's in-memory cache / BloomUriUniqFilter): one compact
-  bloom shard per bucket, stored as a tiny (bucket, bits) DataFrame that
-  joins candidates by bucket — shards stay distributed (no driver
-  broadcast), so the scheme survives 10^10 fingerprints: each executor
-  touches only the shards of the buckets it processes. Candidates whose
-  bloom probe says "definitely new" skip the exact anti-join entirely.
+  BdbUriUniqFilter's in-memory cache / BloomUriUniqFilter): one bloom
+  shard per bucket, stored as a (bucket, nbits, bits) DataFrame. The
+  probe is a **cogroup by bucket** (candidates grouped ⋈ shards grouped):
+  shards stay distributed — there is NO driver broadcast and no per-row
+  bitmap duplication; each task sees one bucket's candidates plus that
+  bucket's shard bytes exactly once. The scheme survives 10^10
+  fingerprints: an executor only ever holds the shards of the buckets it
+  processes. Shards are **sized from their key count** at build time
+  (~10 bits/key, power-of-two), so the filter keeps its ~1% false-positive
+  rate as the seen set grows instead of saturating at a fixed size.
+  Candidates whose probe says "definitely new" skip the exact anti-join.
 
 Scale notes (10^10 URLs ≈ 80 GB of fingerprints): bucket count should be
 O(10^3-10^4) so each bucket's parquet file group stays ~10-100 MB; the
@@ -113,7 +118,7 @@ class UrlSeen:
         catalog: SnapshotCatalog,
         num_buckets: int = 64,
         bloom: bool = True,
-        bloom_bits_per_bucket: int = 1 << 20,
+        bloom_bits_per_bucket: int = 1 << 14,
         bloom_min_seen: int = 200_000,
     ):
         self.catalog = catalog
@@ -121,7 +126,9 @@ class UrlSeen:
         self.bloom_table = catalog.table("url_seen_bloom")
         self.num_buckets = num_buckets
         self.bloom = bloom
-        self.bloom_nbits = bloom_bits_per_bucket
+        # MINIMUM shard size; shards self-size upward from their key count
+        # (~_BLOOM_BITS_PER_KEY bits/key) so the fp rate holds as seen grows
+        self.bloom_min_nbits = bloom_bits_per_bucket
         # the bloom probe only pays for itself once the exact anti-join side
         # is big; below this approximate seen-set size we skip the probe
         # stage entirely (shards are still maintained, so the prefilter is
@@ -177,39 +184,38 @@ class UrlSeen:
         return cand.join(seen, on=cand[fp_field] == F.col("__seen_fp"), how="left_anti")
 
     def _bloom_split(self, spark: SparkSession, cand: DataFrame, fp_field: str) -> DataFrame:
-        blooms = self.bloom_table.read(spark)
-        nbits = self.bloom_nbits
+        """Attach ``__maybe_seen`` by cogrouping candidates with their
+        bucket's bloom shards.
 
-        # shards are append-mode: OR all rows of a bucket into one filter
-        blooms = blooms.groupBy("bucket").agg(F.collect_list("bits").alias("bits_list"))
-
-        def probe(pdf_iter):
-            for pdf in pdf_iter:
-                out = pdf.drop(columns=["bits_list"])
-                maybe = np.zeros(len(pdf), dtype=bool)
-                fps = pdf[fp_field].to_numpy(dtype=np.int64)
-                for b in pdf["__bucket"].unique():
-                    mask = (pdf["__bucket"] == b).to_numpy()
-                    raws = pdf.loc[mask, "bits_list"].iloc[0]
-                    if raws is None or len(raws) == 0:
-                        continue  # bucket has no shard yet: definitely new
-                    arr = np.frombuffer(raws[0], dtype=np.uint8)
-                    if len(raws) > 1:
-                        arr = arr.copy()
-                        for raw in raws[1:]:
-                            arr |= np.frombuffer(raw, dtype=np.uint8)
-                    maybe[mask] = _bloom_maybe_contains(fps[mask], arr, nbits)
-                out["__maybe_seen"] = maybe
-                yield out
-
-        joined = cand.join(
-            F.broadcast(blooms), on=cand["__bucket"] == blooms["bucket"], how="left"
-        ).drop(blooms["bucket"])
+        Co-partitioned, never broadcast: both sides shuffle by bucket, one
+        task handles one bucket's candidates + its shard bytes exactly once
+        (a join would replicate the bitmap onto every candidate row; a
+        broadcast would ship every bucket's bitmap to every executor —
+        both scale-killers at 10^3+ buckets x MB shards). Shards are
+        append-mode with per-shard nbits: a fp is maybe-seen if ANY shard
+        reports it (each shard covers the keys inserted when it was built).
+        """
+        blooms = self.bloom_table.read(spark).select("bucket", "nbits", "bits")
         out_schema = StructType(
-            [f for f in joined.schema.fields if f.name != "bits_list"]
-            + [StructField("__maybe_seen", BooleanType(), False)]
+            list(cand.schema.fields) + [StructField("__maybe_seen", BooleanType(), False)]
         )
-        return joined.mapInPandas(probe, schema=out_schema)
+
+        def probe(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+            out = cand_pdf
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+            if len(shard_pdf):
+                fps = cand_pdf[fp_field].to_numpy(dtype=np.int64)
+                for raw, nb in zip(shard_pdf["bits"], shard_pdf["nbits"]):
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    maybe |= _bloom_maybe_contains(fps, arr, int(nb))
+            out["__maybe_seen"] = maybe
+            return out
+
+        return (
+            cand.groupBy("__bucket")
+            .cogroup(blooms.groupBy("bucket"))
+            .applyInPandas(probe, schema=out_schema)
+        )
 
     # -- writes -------------------------------------------------------------
     def add_fps(
@@ -300,15 +306,23 @@ class UrlSeen:
             self._rebuild_bloom(spark)
 
     _BLOOM_SCHEMA = StructType(
-        [StructField("bucket", IntegerType()), StructField("bits", BinaryType())]
+        [
+            StructField("bucket", IntegerType()),
+            StructField("nbits", IntegerType()),
+            StructField("bits", BinaryType()),
+        ]
     )
 
     def _shards_for(self, fps_df: DataFrame) -> DataFrame:
-        nbits = self.bloom_nbits
+        """Per-bucket shards sized from their own key count (~10 bits/key,
+        power-of-two, floored at bloom_min_nbits) so the false-positive
+        rate stays ~1% regardless of how large the seen set grows."""
+        min_nbits = self.bloom_min_nbits
 
         def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            nbits = max(min_nbits, 1 << int(len(pdf) * _BLOOM_BITS_PER_KEY).bit_length())
             bits = _bloom_build(pdf["fp"].to_numpy(dtype=np.int64), nbits)
-            return pd.DataFrame({"bucket": [key[0]], "bits": [bits.tobytes()]})
+            return pd.DataFrame({"bucket": [key[0]], "nbits": [nbits], "bits": [bits.tobytes()]})
 
         return fps_df.groupBy("bucket").applyInPandas(build, schema=self._BLOOM_SCHEMA)
 

@@ -66,6 +66,9 @@ class SimConfig:
     # sheet overlays: ({"surt_prefix", "total_budget"?, "k_per_host"?}, ...)
     # first matching prefix wins (see CrawlConfig.overlays)
     overlays: tuple = ()
+    # futureUris forced re-visit interval (WorkQueueFrontier.checkFutures
+    # :743-760); -1 = off. Law shared with CrawlConfig.recrawl_interval_ms.
+    recrawl_interval_ms: int = -1
 
 
 @dataclass
@@ -225,17 +228,31 @@ def simulate(
 
     # --- rounds ---------------------------------------------------------
     T = 0
+    futures: list[tuple[int, SimURI]] = []  # (reschedule_time, uri)
     for rnd in range(cfg.max_rounds):
+        # futureUris maturation at round-start clock (checkFutures law)
+        matured = [(t, u) for t, u in futures if t <= T]
+        futures = [(t, u) for t, u in futures if t > T]
+        for _, u in matured:
+            u.fetch_attempts = 0
+            queues.setdefault(u.class_key, Queue()).pending.append(u)
         live = {
             ck: q
             for ck, q in queues.items()
             if q.pending and not q.retired
         }
         if not live:
+            if futures:
+                # only futures remain: jump to the earliest reschedule_time
+                T = max(T + 1, min(t for t, _ in futures))
+                continue
             break
         eligible = {ck: q for ck, q in live.items() if q.wake_time <= T}
         if not eligible:
-            T = max(T + 1, min(q.wake_time for q in live.values()))
+            wake_targets = [min(q.wake_time for q in live.values())]
+            if futures:
+                wake_targets.append(min(t for t, _ in futures))
+            T = max(T + 1, min(wake_targets))
             eligible = {ck: q for ck, q in live.items() if q.wake_time <= T}
         def overlay(ck, key, default):
             for ov in cfg.overlays:
@@ -343,6 +360,18 @@ def simulate(
                     else:
                         body = ""  # NO_ROBOTS: allow all
                     robots_state[server] = Robotstxt(body)
+                # futureUris: successful non-prerequisite fetches re-visit
+                # at round_start + interval (prereq detection only exists
+                # when the precondition gate runs — engine parity)
+                gate_active = cfg.robots == "obey" or cfg.dns == "obey"
+                if cfg.recrawl_interval_ms >= 0 and not (
+                    gate_active and (is_dns or is_robots)
+                ):
+                    from dataclasses import replace as _replace
+
+                    futures.append(
+                        (T + cfg.recrawl_interval_ms, _replace(curi, fetch_attempts=0))
+                    )
                 if 200 <= status < 400:
                     for kind, text, ref, offset in web[curi.canonical]:
                         if kind not in ("link", "img", "script", "css", "media"):

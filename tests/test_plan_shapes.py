@@ -49,3 +49,47 @@ def test_urlseen_scan_prunes_to_fp(spark, tmp_path):
     plan = us.filter_novel(cand)._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<fp:bigint>" in plan  # bucket column pruned
     assert "LeftAnti" in plan
+
+
+def test_bloom_probe_is_cogrouped_never_broadcast(spark, tmp_path):
+    """The bloom pre-filter must cogroup candidates with shards by bucket —
+    a BroadcastExchange of the shard table would ship every bucket's bitmap
+    to every executor (unbounded at 10^3+ buckets); a join would replicate
+    the bitmap bytes onto every candidate row."""
+    us = UrlSeen(
+        SnapshotCatalog(str(tmp_path)),
+        num_buckets=8,
+        bloom=True,
+        bloom_bits_per_bucket=1 << 14,
+        bloom_min_seen=0,
+    )
+    us.add_fps(spark.range(200).select(F.xxhash64("id").alias("fp")))
+    cand = spark.range(100, 160).select(F.xxhash64("id").alias("fp"), F.col("id").alias("x"))
+    out = us.filter_novel(cand)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan  # the co-partitioned probe
+    assert "BroadcastExchange" not in plan.split("FlatMapCoGroupsInPandas")[1], (
+        "shard side of the probe must not broadcast"
+    )
+    # correctness unchanged: exact anti-join result
+    exact = {r.x for r in us._anti_join(cand, "fp").collect()}
+    assert {r.x for r in out.collect()} == exact
+
+
+def test_bloom_shards_size_with_key_count(spark, tmp_path):
+    """Shards must grow with their bucket's key count (~10 bits/key) so the
+    filter never saturates at a fixed size."""
+    us = UrlSeen(
+        SnapshotCatalog(str(tmp_path)),
+        num_buckets=2,
+        bloom=True,
+        bloom_bits_per_bucket=1 << 10,
+        bloom_min_seen=0,
+    )
+    us.add_fps(spark.range(20_000).select(F.xxhash64("id").alias("fp")))
+    shards = us.bloom_table.read(spark).collect()
+    for r in shards:
+        assert r.nbits >= 1 << 10
+        assert len(r.bits) == (r.nbits + 7) // 8
+    # ~10k keys/bucket * 10 bits -> at least 2^17 bits, far above the floor
+    assert max(r.nbits for r in shards) >= 1 << 17
