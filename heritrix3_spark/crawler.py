@@ -139,6 +139,24 @@ class CrawlConfig:
     # (same ordinal, attempts reset) at the start of the first round whose
     # clock has reached their reschedule_time. -1 = off.
     recrawl_interval_ms: int = -1
+    # QuotaEnforcer (prefetch/QuotaEnforcer.java:62-81, 389-463): the 18
+    # {server,host,group} x {MaxFetchSuccesses, MaxSuccessKb,
+    # MaxFetchResponses, MaxAllKb, MaxNovelKb, MaxNovelUrls} quota keys,
+    # reference camelCase names, e.g. (("serverMaxFetchSuccesses", 3),).
+    # (The reference's group novel keys literally alias the server names —
+    # a bug we do NOT replicate: use groupMaxNovelKb/groupMaxNovelUrls.)
+    # A quota >= 0 binds when the accumulated stat reaches it, evaluated at
+    # emit time against ROUND-START stats (the macro-batch analog of the
+    # serial prefetch check; documented divergence: a serial crawler sees
+    # same-round increments). group == the frontier queue (class_key),
+    # matching frontier.getGroup(curi); dns: URIs are exempt (no DNS server
+    # model). KB metrics integer-divide accumulated BYTES by 1024 at check
+    # time, exactly like QuotaEnforcer.checkQuotas.
+    quotas: tuple = ()
+    # forceRetire (QuotaEnforcer.java:346-361, default true): an over-quota
+    # URI retires its queue WITHOUT being disposed (re-queued, no log row);
+    # False marks it S_BLOCKED_BY_QUOTA -> disposed as failure.
+    force_retire: bool = True
     # sheet overlays (org.archive.spring.Sheet / SheetOverlaysManager,
     # commons/.../spring/Sheet.java:50, profile-crawler-beans.cxml:691):
     # per-SURT-prefix config overrides, applied to a queue when its
@@ -190,6 +208,13 @@ class CrawlEngine:
         # futureUris held for forced re-visit (WorkQueueFrontier.futureUris
         # sorted map analog): FRONTIER_SCHEMA + reschedule_time
         self.futures_t = self.catalog.table("futures")
+        # QuotaEnforcer FetchStats substats per (cat, key): cat in
+        # server/host/group (FetchStats.tally law, modules/.../fetcher/
+        # FetchStats.java:66-106); bytes stored raw, KB derived at check
+        self.quota_t = self.catalog.table("quota_stats")
+        # content-digest history (BdbContentDigestHistory analog) — drives
+        # the novel-vs-revisit split in quota stats (§2.12 revisit wiring)
+        self.digest_t = self.catalog.table("digest_seen")
         self.overrides = fetch_status_overrides
         # driver-held scalars (checkpointed)
         self.round = 0
@@ -303,6 +328,176 @@ class CrawlEngine:
                 else expr.when(cond, F.lit(ov[key]))
             )
         return default if expr is None else expr.otherwise(default)
+
+    # ------------------------------------------------------------------
+    # QuotaEnforcer (prefetch/QuotaEnforcer.java) — emit-time quota gate +
+    # per-round FetchStats accumulation
+    # ------------------------------------------------------------------
+    #: quota-key suffix -> (stats column, value is KB of the byte column)
+    _QUOTA_METRICS = {
+        "MaxFetchSuccesses": ("successes", False),
+        "MaxSuccessKb": ("success_bytes", True),
+        "MaxFetchResponses": ("responses", False),
+        "MaxAllKb": ("all_bytes", True),
+        "MaxNovelKb": ("novel_bytes", True),
+        "MaxNovelUrls": ("novel_urls", False),
+    }
+    _QUOTA_STAT_COLS = (
+        "successes", "responses", "success_bytes", "all_bytes",
+        "novel_bytes", "novel_urls",
+    )
+
+    @staticmethod
+    def _content_size_col():
+        """Synthetic contentSize: total text+media_ref chars of the spans
+        payload (2xx with payload only)."""
+        return F.when(
+            F.col("spans").isNotNull()
+            & (F.col("fetch_status") >= 200)
+            & (F.col("fetch_status") < 300),
+            F.aggregate(
+                "spans",
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.coalesce(F.length(s["text"]), F.lit(0)).cast("long")
+                + F.coalesce(F.length(s["media_ref"]), F.lit(0)).cast("long"),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+
+    def _quota_blocked_col(self, emitted: DataFrame) -> DataFrame:
+        """Join round-start quota stats onto emitted rows and compute
+        ``__quota_blocked``. Stats tables are unbounded (one row per server/
+        host/queue ever seen) so — like robots/dns — they are pruned via a
+        semi-join on the round's own key set, never broadcast wholesale."""
+        quotas = dict(self.cfg.quotas)
+        emitted = (
+            emitted.withColumn(
+                "__q_server", F.when(~F.col("__is_dns"), F.col("__server"))
+            )
+            .withColumn("__q_host", F.substring_index(F.col("__q_server"), ":", 1))
+            .withColumn("__q_group", F.when(~F.col("__is_dns"), F.col("class_key")))
+        )
+        blocked = F.lit(False)
+        stats_exist = self.quota_t.exists()
+        stats = self.quota_t.read(self.spark) if stats_exist else None
+        for cat, key_col in (
+            ("server", "__q_server"),
+            ("host", "__q_host"),
+            ("group", "__q_group"),
+        ):
+            configured = {
+                suffix: q
+                for suffix, q in (
+                    (k[len(cat):], v) for k, v in quotas.items() if k.startswith(cat)
+                )
+                if q >= 0
+            }
+            if not configured:
+                continue
+            cat_blocked = F.lit(False)
+            if stats_exist:
+                st = stats.filter(F.col("cat") == cat).select(
+                    F.col("key").alias(f"__{cat}_key"),
+                    *[F.col(c).alias(f"__{cat}_{c}") for c in self._QUOTA_STAT_COLS],
+                )
+                keys = emitted.select(F.col(key_col).alias("__kk")).distinct()
+                st = st.join(
+                    F.broadcast(keys), st[f"__{cat}_key"] == F.col("__kk"), "left_semi"
+                )
+                emitted = emitted.join(
+                    st, emitted[key_col] == st[f"__{cat}_key"], "left"
+                ).drop(f"__{cat}_key")
+                for suffix, q in configured.items():
+                    col_name, is_kb = self._QUOTA_METRICS[suffix]
+                    actual = F.coalesce(F.col(f"__{cat}_{col_name}"), F.lit(0))
+                    if is_kb:
+                        actual = F.floor(actual / 1024)
+                    cat_blocked = cat_blocked | (actual >= q)
+            else:
+                # no stats yet: actual = 0; only quota 0 binds
+                if any(q == 0 for q in configured.values()):
+                    cat_blocked = F.lit(True)
+            blocked = blocked | (F.col(key_col).isNotNull() & cat_blocked)
+        return emitted.withColumn("__quota_blocked", blocked)
+
+    def _update_quota_stats(self, fetched: DataFrame) -> None:
+        """Post-round FetchStats tally (FetchStats.java:66-106): success
+        rows count successes+responses+bytes; failed rows with a positive
+        status count responses+bytes; novel split by content-digest history
+        (first occurrence within the round by ordinal, then cross-round via
+        digest_seen — BdbContentDigestHistory analog)."""
+        base = fetched.filter(
+            ~F.col("__is_dns") & F.col("disposition").isin("success", "fail")
+        ).withColumn("__size", self._content_size_col())
+        digest = F.when(
+            F.col("__size") > 0, F.sha1(F.to_json("spans"))
+        ).otherwise(F.lit(None).cast("string"))
+        base = base.withColumn("__digest", digest)
+        w = Window.partitionBy("__digest").orderBy("ordinal")
+        base = base.withColumn("__first_in_round", F.row_number().over(w) == 1)
+        if self.digest_t.exists():
+            seen_d = self.digest_t.read(self.spark).select(
+                F.col("digest").alias("__dseen")
+            )
+            dkeys = base.select(F.col("__digest").alias("__dk")).distinct()
+            seen_d = seen_d.join(
+                F.broadcast(dkeys), seen_d["__dseen"] == F.col("__dk"), "left_semi"
+            )
+            base = base.join(seen_d, base["__digest"] == F.col("__dseen"), "left")
+        else:
+            base = base.withColumn("__dseen", F.lit(None).cast("string"))
+        is_success = F.col("disposition") == "success"
+        counts_resp = is_success | (F.col("fetch_status") > 0)
+        novel = is_success & (
+            F.col("__digest").isNull()
+            | (F.col("__first_in_round") & F.col("__dseen").isNull())
+        )
+        base = (
+            base.withColumn("__s", is_success.cast("long"))
+            .withColumn("__r", counts_resp.cast("long"))
+            .withColumn("__sb", F.when(is_success, F.col("__size")).otherwise(0))
+            .withColumn("__ab", F.when(counts_resp, F.col("__size")).otherwise(0))
+            .withColumn("__nb", F.when(novel, F.col("__size")).otherwise(0))
+            .withColumn("__nu", novel.cast("long"))
+            .persist()
+        )
+        deltas = None
+        for cat, key_col in (
+            ("server", "__q_server"),
+            ("host", "__q_host"),
+            ("group", "__q_group"),
+        ):
+            d = base.groupBy(F.col(key_col).alias("key")).agg(
+                F.sum("__s").alias("successes"),
+                F.sum("__r").alias("responses"),
+                F.sum("__sb").alias("success_bytes"),
+                F.sum("__ab").alias("all_bytes"),
+                F.sum("__nb").alias("novel_bytes"),
+                F.sum("__nu").alias("novel_urls"),
+            ).withColumn("cat", F.lit(cat))
+            deltas = d if deltas is None else deltas.unionByName(d)
+        deltas = deltas.filter(F.col("key").isNotNull())
+        if self.quota_t.exists():
+            old = self.quota_t.read(self.spark)
+            merged = (
+                old.unionByName(deltas)
+                .groupBy("cat", "key")
+                .agg(*[F.sum(c).alias(c) for c in self._QUOTA_STAT_COLS])
+            )
+        else:
+            merged = deltas.select("cat", "key", *self._QUOTA_STAT_COLS)
+        self.quota_t.overwrite(merged)
+        new_digests = (
+            base.filter(novel & F.col("__digest").isNotNull())
+            .select(F.col("__digest").alias("digest"))
+            .distinct()
+        )
+        if self.digest_t.exists():
+            new_digests = new_digests.join(
+                self.digest_t.read(self.spark), "digest", "left_anti"
+            )
+        self.digest_t.append(new_digests)
+        base.unpersist()
 
     # ------------------------------------------------------------------
     # deterministic scalable ordinal assignment
@@ -455,9 +650,11 @@ class CrawlEngine:
             .drop("queue_rank", "__k")
         )
 
-        # --- precondition gate: DNS first, then robots (PreconditionEnforcer
-        # order, prefetch/PreconditionEnforcer.java:85-120) ------------------
-        need_gate = cfg.robots == "obey" or cfg.dns == "obey"
+        # --- precondition gate: DNS first, then robots, then quotas
+        # (chain order: preselector -> preconditions -> quota -> fetchers,
+        # profile-crawler-beans.cxml:321-328 + QuotaEnforcer placement) ------
+        quotas_on = bool(cfg.quotas)
+        need_gate = cfg.robots == "obey" or cfg.dns == "obey" or quotas_on
         if need_gate:
             emitted = emitted.withColumn(
                 "__is_dns", F.col("canonical").startswith("dns:")
@@ -542,18 +739,37 @@ class CrawlEngine:
             else:
                 rb_known, allowed = F.lit(True), F.lit(True)
                 crawl_delay = F.lit(None).cast("double")
+            if quotas_on:
+                emitted = self._quota_blocked_col(emitted)
+            else:
+                emitted = (
+                    emitted.withColumn("__quota_blocked", F.lit(False))
+                    .withColumn("__q_server", F.lit(None).cast("string"))
+                    .withColumn("__q_host", F.lit(None).cast("string"))
+                    .withColumn("__q_group", F.lit(None).cast("string"))
+                )
+            quota_status = F.lit(FR.S_BLOCKED_BY_QUOTA)
             emitted = (
                 emitted.withColumn(
                     "__forced_status",
                     # the dns: prerequisite itself always proceeds; then DNS
-                    # gate; the robots.txt prerequisite passes once DNS known;
-                    # then robots gate
+                    # gate; the robots.txt prerequisite passes once DNS known
+                    # then hits the quota gate; then robots gate; then quota
                     F.when(F.col("__is_dns"), F.lit(None).cast("int"))
                     .when(~F.col("__dns_known"), F.lit(FR.S_DEFERRED))
+                    .when(
+                        F.col("__is_robots") & F.col("__quota_blocked"), quota_status
+                    )
                     .when(F.col("__is_robots"), F.lit(None).cast("int"))
                     .when(~rb_known, F.lit(FR.S_DEFERRED))
                     .when(~allowed, F.lit(FR.S_ROBOTS_PRECLUDED))
+                    .when(F.col("__quota_blocked"), quota_status)
                     .otherwise(F.lit(None).cast("int")),
+                )
+                .withColumn(
+                    "__quota_retire",
+                    (F.col("__forced_status") == FR.S_BLOCKED_BY_QUOTA)
+                    & F.lit(cfg.force_retire),
                 )
                 .withColumn(
                     "__defer_reason",
@@ -572,6 +788,11 @@ class CrawlEngine:
                 .withColumn("__is_dns", F.lit(False))
                 .withColumn("__is_robots", F.lit(False))
                 .withColumn("__forced_status", F.lit(None).cast("int"))
+                .withColumn("__quota_blocked", F.lit(False))
+                .withColumn("__quota_retire", F.lit(False))
+                .withColumn("__q_server", F.lit(None).cast("string"))
+                .withColumn("__q_host", F.lit(None).cast("string"))
+                .withColumn("__q_group", F.lit(None).cast("string"))
                 .withColumn("__defer_reason", F.lit(None).cast("string"))
                 .withColumn("__crawl_delay", F.lit(None).cast("double"))
             )
@@ -621,7 +842,11 @@ class CrawlEngine:
             )
             .withColumn(
                 "disposition",
-                F.when(F.col("__retry"), F.lit("retry"))
+                # forceRetire'd over-quota URIs are never disposed
+                # (QuotaEnforcer.applyQuota: "retire queue without
+                # disposing URI") — they re-queue and the queue retires
+                F.when(F.col("__quota_retire"), F.lit("blocked"))
+                .when(F.col("__retry"), F.lit("retry"))
                 .when(F.col("__success"), F.lit("success"))
                 .when(F.col("__disregard"), F.lit("disregard"))
                 .otherwise(F.lit("fail")),
@@ -630,7 +855,7 @@ class CrawlEngine:
         fetched = fetched.persist()
 
         # --- crawl log / journal rows (one combined events append) --------
-        log_rows = fetched.select(
+        log_rows = fetched.filter(F.col("disposition") != "blocked").select(
             F.lit(self.round).alias("round"),
             F.when(F.col("disposition") == "success", "Fs")
             .when(F.col("disposition") == "retry", "Fr")
@@ -795,10 +1020,20 @@ class CrawlEngine:
                 F.col("__attempts").alias("fetch_attempts"), "force_fetch",
             )
         )
+        # forceRetire'd over-quota URIs re-queue undisposed, attempts intact
+        quota_requeued = fetched.filter(F.col("__quota_retire")).select(
+            "uri", "canonical", "fp", "class_key", "is_seed", "hops_path", "via",
+            "via_context", "sched_directive", "precedence", "cost", "ordinal",
+            "fetch_attempts", "force_fetch",
+        )
         remaining = frontier.join(
             emitted_keys, frontier["fp"] == F.col("__done_fp"), "left_anti"
         )
-        new_frontier = remaining.unionByName(retries).unionByName(novel_rows)
+        new_frontier = (
+            remaining.unionByName(retries)
+            .unionByName(quota_requeued)
+            .unionByName(novel_rows)
+        )
         self.frontier_t.overwrite(new_frontier.repartition(cfg.num_buckets, "class_key"))
 
         timer.mark("frontier-write")
@@ -871,7 +1106,7 @@ class CrawlEngine:
             F.sum(row_advance).alias("advance"),
             F.sum(
                 F.when(
-                    F.col("disposition") == "disregard", F.lit(0)
+                    F.col("disposition").isin("disregard", "blocked"), F.lit(0)
                 )
                 .when(
                     (F.col("disposition") == "retry")
@@ -884,8 +1119,13 @@ class CrawlEngine:
                 F.when(F.col("disposition") == "fail", cfg.error_penalty).otherwise(0)
             ).alias("penalty"),
             F.count("*").alias("emitted_n"),
-            F.sum(F.when(F.col("__retry"), 1).otherwise(0)).alias("retry_n"),
+            F.sum(
+                F.when(
+                    F.col("__retry") | (F.col("disposition") == "blocked"), 1
+                ).otherwise(0)
+            ).alias("retry_n"),
             F.sum(F.when(F.col("disposition") == "fail", 1).otherwise(0)).alias("fail_n"),
+            F.max(F.when(F.col("__quota_retire"), 1).otherwise(0)).alias("quota_retire"),
         )
         novel_per_host = novel_rows.groupBy("class_key").agg(F.count("*").alias("novel_n"))
         hosts_all = hosts.join(novel_per_host, "class_key", "full").select(
@@ -900,6 +1140,7 @@ class CrawlEngine:
         ph = per_host.select(
             F.col("class_key").alias("__ck"),
             "advance", "expend", "penalty", "emitted_n", "retry_n", "fail_n",
+            "quota_retire",
         )
         updated = (
             hosts_all.join(ph, hosts_all["class_key"] == ph["__ck"], "left")
@@ -925,6 +1166,7 @@ class CrawlEngine:
                     "error_count"
                 ),
                 F.col("retired"),
+                F.coalesce(F.col("quota_retire"), F.lit(0)).alias("__quota_retire"),
             )
             .withColumn("__budget", self._overlay_col("total_budget", F.lit(cfg.total_budget)))
             .withColumn(
@@ -933,13 +1175,21 @@ class CrawlEngine:
                     (F.col("__budget") >= 0)
                     & (F.col("total_expenditure") >= F.col("__budget")),
                     F.lit("y"),
-                ).otherwise(F.col("retired")),
+                )
+                # QuotaEnforcer forceRetire: an over-quota URI retires its
+                # whole queue (QuotaEnforcer.java:352-361)
+                .when(F.col("__quota_retire") >= 1, F.lit("y"))
+                .otherwise(F.col("retired")),
             )
-            .drop("__budget")
+            .drop("__budget", "__quota_retire")
         )
         self.host_t.overwrite(updated)
 
         timer.mark("host-write")
+        # --- QuotaEnforcer stats accumulation (for next round's checks) ----
+        if quotas_on:
+            self._update_quota_stats(fetched)
+            timer.mark("quota-stats")
         # --- per-round metrics snapshot (CrawlStatSnapshot analog) ----------
         # CrawlLimitEnforcer: global fetch cap
         n_fetched = fetched.count()  # cached

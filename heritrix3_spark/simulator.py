@@ -69,6 +69,10 @@ class SimConfig:
     # futureUris forced re-visit interval (WorkQueueFrontier.checkFutures
     # :743-760); -1 = off. Law shared with CrawlConfig.recrawl_interval_ms.
     recrawl_interval_ms: int = -1
+    # QuotaEnforcer quotas + forceRetire (see CrawlConfig.quotas for the
+    # full law; checks run against ROUND-START stats in both engines)
+    quotas: tuple = ()
+    force_retire: bool = True
 
 
 @dataclass
@@ -218,6 +222,35 @@ def simulate(
     robots_state: dict[str, Robotstxt] = {}
     dns_state: set[str] = set()
 
+    # QuotaEnforcer FetchStats substats: (cat, key) -> metric dict
+    quotas = dict(cfg.quotas)
+    _QUOTA_METRICS = {
+        "MaxFetchSuccesses": ("successes", False),
+        "MaxSuccessKb": ("success_bytes", True),
+        "MaxFetchResponses": ("responses", False),
+        "MaxAllKb": ("all_bytes", True),
+        "MaxNovelKb": ("novel_bytes", True),
+        "MaxNovelUrls": ("novel_urls", False),
+    }
+    quota_stats: dict[tuple[str, str], dict[str, int]] = {}
+    digests_seen: set = set()
+
+    def quota_blocked(snapshot, server, host, group) -> bool:
+        for cat, key in (("server", server), ("host", host), ("group", group)):
+            if key is None:
+                continue
+            st = snapshot.get((cat, key), {})
+            for qkey, quota in quotas.items():
+                if quota < 0 or not qkey.startswith(cat):
+                    continue
+                col, is_kb = _QUOTA_METRICS[qkey[len(cat):]]
+                actual = st.get(col, 0)
+                if is_kb:
+                    actual //= 1024
+                if actual >= quota:
+                    return True
+        return False
+
     def _server_path(canonical: str):
         if canonical.startswith("dns:"):
             return "dns", canonical[4:], None
@@ -260,6 +293,13 @@ def simulate(
                     return ov[key]
             return default
 
+        # quota checks run against ROUND-START stats (engine parity law)
+        if quotas:
+            import copy as _copy
+
+            quota_snapshot = _copy.deepcopy(quota_stats)
+        round_fetches = []  # (ordinal, server, class_key, status, content, size)
+        retire_marks: set[str] = set()
         candidates = []  # (parent_ordinal, outlink_index, url, hops, via)
         for ck in sorted(eligible):
             q = eligible[ck]
@@ -323,6 +363,25 @@ def simulate(
                              fetch_status=-9998, disposition="disregard")
                     )
                     continue
+                # QuotaEnforcer gate (after preconditions, before fetch —
+                # chain position per profile cxml; dns: URIs exempt)
+                if quotas and forced is None and not is_dns:
+                    if quota_blocked(
+                        quota_snapshot, server, server.split(":")[0], ck
+                    ):
+                        if cfg.force_retire:
+                            # retire queue without disposing the URI
+                            requeue.append(curi)
+                            retire_marks.add(ck)
+                        else:
+                            q.total_expenditure += curi.cost + cfg.error_penalty
+                            log.append(
+                                dict(round=rnd, class_key=ck, uri=curi.uri,
+                                     canonical=curi.canonical,
+                                     ordinal=curi.ordinal,
+                                     fetch_status=-5003, disposition="fail")
+                            )
+                        continue
                 if is_dns:
                     status = 1  # S_DNS_SUCCESS (synthetic resolution)
                 else:
@@ -350,6 +409,20 @@ def simulate(
                         disposition="success",
                     )
                 )
+                if quotas and not is_dns:
+                    content = (
+                        tuple(web[curi.canonical])
+                        if 200 <= status < 300 and curi.canonical in web
+                        else None
+                    )
+                    size = (
+                        sum(len(t or "") + len(r or "") for k, t, r, o in content)
+                        if content
+                        else 0
+                    )
+                    round_fetches.append(
+                        (curi.ordinal, server, ck, status, content, size)
+                    )
                 if is_dns and server is not None:
                     dns_state.add(server)
                 if cfg.robots == "obey" and is_robots and server is not None:
@@ -388,6 +461,39 @@ def simulate(
             budget = overlay(ck, "total_budget", cfg.total_budget)
             if budget >= 0 and q.total_expenditure >= budget:
                 q.retired = True  # isOverTotalBudget -> retireQueue
+        # QuotaEnforcer end-of-round: forceRetire marks + FetchStats tally
+        # in ordinal order (novelty = first occurrence of a content digest,
+        # in-round then cross-round — matches the engine's window law)
+        for rk in retire_marks:
+            queues[rk].retired = True
+        if quotas:
+            for ordinal, server, ck2, status, content, size in sorted(
+                round_fetches, key=lambda r: r[0]
+            ):
+                if content is None or size == 0:
+                    novel = True
+                elif content in digests_seen:
+                    novel = False
+                else:
+                    novel = True
+                    digests_seen.add(content)
+                for cat, key in (
+                    ("server", server),
+                    ("host", server.split(":")[0]),
+                    ("group", ck2),
+                ):
+                    st = quota_stats.setdefault(
+                        (cat, key),
+                        dict(successes=0, responses=0, success_bytes=0,
+                             all_bytes=0, novel_bytes=0, novel_urls=0),
+                    )
+                    st["successes"] += 1
+                    st["responses"] += 1
+                    st["success_bytes"] += size
+                    st["all_bytes"] += size
+                    if novel:
+                        st["novel_bytes"] += size
+                        st["novel_urls"] += 1
         # candidate processing in discovery order (prereqs sort first: -1)
         candidates.sort(key=lambda c: (c[0], c[1]))
         for parent_ord, idx, url, hops, via, cur_directive in candidates:

@@ -61,3 +61,79 @@ def test_recrawl_futures_parity(spark, tmp_path):
     # journal has Fu rows for the scheduled futures
     fu = eng.journal().filter("tag = 'Fu'").count()
     assert fu > 0
+
+
+def _run_pair(spark, tmp_path, name, web_hp, sim_cfg, eng_cfg, rounds=40):
+    h, p = web_hp
+    web = {u: s for u, s in FX.synth_web_rows(h, p)}
+    seeds = FX.seed_lines(h)
+    sim_log, _ = simulate(web, seeds, sim_cfg)
+    eng = CrawlEngine(
+        spark, str(tmp_path / name), FX.synth_web_df(spark, h, p), eng_cfg
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=rounds)
+    assert _eng_rows(eng_log) == _sim_rows(sim_log), name
+    return eng, sim_log
+
+
+def test_quota_force_retire_parity(spark, tmp_path):
+    """serverMaxFetchSuccesses with forceRetire (the reference default):
+    over-quota URIs re-queue undisposed and their queue retires."""
+    quotas = (("serverMaxFetchSuccesses", 2),)
+    eng, sim_log = _run_pair(
+        spark,
+        tmp_path,
+        "qret",
+        (2, 5),
+        SimConfig(quotas=quotas, force_retire=True),
+        CrawlConfig(
+            num_buckets=4, ordinal_partitions=1, bloom=False, metrics=False,
+            quotas=quotas, force_retire=True,
+        ),
+    )
+    hosts = eng.host_t.read(spark)
+    assert hosts.filter(hosts.retired == "y").count() == 2  # both servers
+    # exactly 2 successes per class_key were allowed
+    per_ck = {}
+    for l in sim_log:
+        if l["disposition"] == "success":
+            per_ck[l["class_key"]] = per_ck.get(l["class_key"], 0) + 1
+    assert all(n == 2 for n in per_ck.values())
+    # blocked URIs were re-queued, not disposed (still pending)
+    assert eng.frontier_t.read(spark).count() > 0
+
+
+def test_quota_blocked_fail_parity(spark, tmp_path):
+    """hostMaxFetchResponses without forceRetire: over-quota URIs get
+    S_BLOCKED_BY_QUOTA (-5003) and dispose as failures."""
+    quotas = (("hostMaxFetchResponses", 3),)
+    eng, sim_log = _run_pair(
+        spark,
+        tmp_path,
+        "qfail",
+        (2, 5),
+        SimConfig(quotas=quotas, force_retire=False),
+        CrawlConfig(
+            num_buckets=4, ordinal_partitions=1, bloom=False, metrics=False,
+            quotas=quotas, force_retire=False,
+        ),
+    )
+    blocked = [l for l in sim_log if l["fetch_status"] == -5003]
+    assert blocked and all(l["disposition"] == "fail" for l in blocked)
+
+
+def test_quota_kb_and_novel_parity(spark, tmp_path):
+    """Byte-derived (KB floor law) + novel-URL quotas bind identically."""
+    quotas = (("serverMaxSuccessKb", 1), ("groupMaxNovelUrls", 4))
+    _run_pair(
+        spark,
+        tmp_path,
+        "qkb",
+        (2, 6),
+        SimConfig(quotas=quotas, force_retire=False),
+        CrawlConfig(
+            num_buckets=4, ordinal_partitions=1, bloom=False, metrics=False,
+            quotas=quotas, force_retire=False,
+        ),
+    )
