@@ -112,45 +112,307 @@ def extract_outlinks_from_spans(
 # ---------------------------------------------------------------------------
 # raw-HTML regex extractor (vectorized pandas UDF)
 # ---------------------------------------------------------------------------
-# Re-stated (not copied) from ExtractorHTML.java:148-231 attribute scanning:
-# href/src/action/srcset attributes inside tags, plus CSS url(...) and
-# (lightweight) quoted likely-URIs in script bodies.
-_RE_ATTR = re.compile(
-    r"""(?is)<\s*(\w+)[^>]*?\s(?:href|src|action|data-src)\s*=\s*(?:"([^"]+)"|'([^']+)'|([^\s>]+))"""
+# Faithful re-statement of ExtractorHTML's two-level scan
+# (ExtractorHTML.java:148-231 RELEVANT_TAG_EXTRACTOR /
+# EACH_ATTRIBUTE_EXTRACTOR, processGeneralTag :380-590, processMeta
+# :1002-1062, processEmbed srcset split :733-760, processLink javascript:
+# hand-off :693-712). The two published regex families ARE the law; the
+# surrounding control flow is re-implemented in Python.
+_RE_TAG = re.compile(
+    r"(?is)<(?:"
+    r"((script[^>]*)>.*?</script)"  # 1 full, 2 tag innards
+    r"|((style[^>]*)>.*?</style)"  # 3 full, 4 tag innards
+    r"|((meta|\w{1,24})\s+[^>]*)"  # 5 innards, 6 element name
+    r"|(!--(?!\[if|>).*?--)"  # 7 comment (conditional comments scanned)
+    r")>"
+)
+_RE_EACH_ATTR = re.compile(
+    r"(?is)\s?((href)|(action)|(on\w*)"  # 1 name, 2 href, 3 action, 4 on*
+    r"|((?:src)|(?:srcset)|(?:lowsrc)|(?:background)|(?:cite)"
+    r"|(?:longdesc)|(?:usemap)|(?:profile)|(?:datasrc)"
+    r"|(?:data-src)|(?:data-srcset)|(?:data-original)|(?:data-original-set))"  # 5
+    r"|(codebase)|((?:classid)|(?:data))|(archive)|(code)"  # 6, 7, 8, 9
+    r"|(value)|(style)|(method)"  # 10, 11, 12
+    r"|([-\w]{1,64}))"  # 13 any other attribute
+    r"\s*=\s*"
+    r"(?:(?:\"(.{0,2048}?)(?:\"|$))"  # 14 double-quoted
+    r"|(?:'(.{0,2048}?)(?:'|$))"  # 15 single-quoted
+    r"|(\S{1,2048}))"  # 16 bare
 )
 _RE_CSS_URL = re.compile(r"""(?i)(?:@import\s+(?:url\()?|url\()\s*(["']?)([^"')]+)\1\s*[);]""")
-_RE_META_ROBOTS = re.compile(
-    r"""(?is)<\s*meta[^>]+name\s*=\s*["']?robots["']?[^>]*content\s*=\s*["']?([^"'>]+)"""
-)
+#: srcset item matcher (processEmbed :748): url then optional descriptors
+_RE_SRCSET_ITEM = re.compile(r"[\s,]*(\S*[^,\s])(?:\s(?:[^,(]+|\([^)]*(?:\)|$))*)?")
+#: (element, attr) pairs whose value is a srcset multi-URI list
+_SRCSET_CONTEXTS = {
+    ("img", "srcset"), ("source", "srcset"), ("img", "data-srcset"),
+    ("img", "data-original-set"), ("source", "data-original-set"),
+}
+#: link@rel keywords -> treatment (processLinkTagWithRel :609-637)
+_REL_EMBED = {"icon", "stylesheet", "modulepreload", "prefetch", "prerender"}
+_REL_IGNORE = {"dns-prefetch", "preconnect", ""}
 
-_NAV_TAGS = {"a", "link"}
-_EMBED_TAGS = {"img", "script", "iframe", "frame", "embed", "source", "audio", "video"}
+
+# common TLD set for speculativeFixup's dotted-domain heuristic
+# (UriUtils.speculativeFixup, commons/.../util/UriUtils.java:323-360;
+# ArchiveUtils.isTld approximated: common gTLDs or any 2-letter ccTLD)
+_COMMON_TLDS = {
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "name", "mobi", "asia", "arpa", "aero", "coop", "museum",
+}
 
 
-def _extract_html_one(base: str, html: str) -> list[tuple]:
+# isVeryLikelyUri's false-positive blacklist (UriUtils.java:412-475):
+# text/application mimetypes, audio/video/image mimetypes (the reference
+# enumerates them; we pattern-match the same families), decimal numbers,
+# and css-class-like "tag.class" strings
+_RE_MIME_TEXT_APP = re.compile(r"(?:text|application)/[^/]+$")
+_RE_MIME_AVI = re.compile(r"(?i)^(?:audio|video|image)/[\w.+-]+$")
+_RE_DECIMAL = re.compile(r"\d+(?:\.\d+)*$")
+_HTML_TAGS = {
+    "a", "abbr", "b", "body", "br", "button", "div", "em", "font", "form",
+    "h1", "h2", "h3", "h4", "h5", "h6", "html", "i", "img", "input", "li",
+    "ol", "option", "p", "select", "span", "strong", "table", "td", "th",
+    "tr", "u", "ul",
+}
+
+
+def _is_very_likely_uri(s: str) -> bool:
+    if not _RE_LIKELY_URI.match(s):
+        return False
+    if _RE_MIME_TEXT_APP.fullmatch(s) or _RE_MIME_AVI.fullmatch(s):
+        return False
+    if _RE_DECIMAL.fullmatch(s):
+        return False
+    m = re.fullmatch(r"([^./]+)\.([^./]+)", s)
+    if m and m.group(1).lower() in _HTML_TAGS:
+        return False
+    return True
+
+
+def _speculative_fixup(candidate: str, base: str) -> str:
+    """Scheme-less intended-absolute URIs ("www.example.com/x") get an
+    http:// prefix (base's scheme when on the same host)."""
+    s = candidate.replace("&amp;", "&")
+    m = re.fullmatch(r"(?:[^./]+\.)+([^./]+)(?:/.*)?", s)
+    if m:
+        tld = m.group(1).lower()
+        if tld in _COMMON_TLDS or (len(tld) == 2 and tld.isalpha()):
+            scheme = "http"
+            bm = re.match(r"^([a-zA-Z][\w+\-.]*)://([^/?#]*)", base or "")
+            if bm and s.startswith(bm.group(2)):
+                scheme = bm.group(1)
+            return f"{scheme}://{s}"
+    return s
+
+
+def _py_resolve(base: str, ref: str) -> str:
+    """Resolve a possibly-relative reference (same law as resolve_ref_col)."""
+    if re.match(r"^[a-zA-Z][\w+\-.]*:", ref):
+        return ref
+    m = re.match(r"^([^:/?#]+://[^/?#]*)([^?#]*)", base)
+    if not m:
+        return ref
+    origin, path = m.group(1), m.group(2)
+    if ref.startswith("/"):
+        return origin + ref
+    d = path.rfind("/")
+    return origin + (path[: d + 1] if d >= 0 else "/") + ref
+
+
+def _srcset_urls(value: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(value):
+        m = _RE_SRCSET_ITEM.match(value, pos)
+        if not m or m.end() == pos:
+            break
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+def _extract_html_one(
+    base: str,
+    html: str,
+    frames_as_embeds: bool = True,
+    ignore_form_actions: bool = False,
+    extract_only_form_gets: bool = True,
+    extract_javascript: bool = True,
+    extract_value_attributes: bool = True,
+) -> list[tuple]:
+    """One document through the ExtractorHTML scan. Returns
+    (absolute_url, context, hop) tuples in document order. Option defaults
+    mirror ExtractorHTML.java:244-315."""
     if not html:
         return []
-    m = _RE_META_ROBOTS.search(html)
-    if m and ("nofollow" in m.group(1).lower() or "none" in m.group(1).lower()):
-        # meta robots nofollow aborts link extraction (ExtractorHTML.java:1002-1050)
-        return []
-    out = []
-    for tag_m in _RE_ATTR.finditer(html):
-        tag = tag_m.group(1).lower()
-        url = tag_m.group(2) or tag_m.group(3) or tag_m.group(4)
-        if not url or url.startswith("data:") or url.startswith("javascript:"):
-            continue
-        if tag == "form":
-            continue
-        hop = "L" if tag in _NAV_TAGS else "E"
-        out.append((url.strip(), f"{tag}/@href", hop))
+    import html as _htmlmod
+
+    out: list[tuple] = []
+    cur_base = base  # first <base href> overrides (processGeneralTag :443-451)
+    base_set = False
+
+    def add(url, context, hop, resolve_base=None):
+        url = (url or "").strip()
+        if not url or url.startswith("data:"):
+            return  # data: URIs skipped (Extractor.java:140-170)
+        out.append((_py_resolve(resolve_base or cur_base, url), context, hop))
+
+    def add_js_strings(code):
+        if extract_javascript:
+            for url, ctx, hop in _extract_js_one(code):
+                out.append((_py_resolve(cur_base, _speculative_fixup(url, cur_base)), ctx, hop))
+
+    for tag_m in _RE_TAG.finditer(html):
         if len(out) >= MAX_OUTLINKS:
-            return out
-    for css_m in _RE_CSS_URL.finditer(html):
-        out.append((css_m.group(2).strip(), "css/url()", "E"))
-        if len(out) >= MAX_OUTLINKS:
-            return out
-    return out
+            break
+        if tag_m.group(7):  # comment
+            continue
+        if tag_m.group(1):  # <script ...>body</script>
+            innards = tag_m.group(2)
+            body = tag_m.group(1)[len(innards) + 1 : -len("</script")]
+            element = "script"
+        elif tag_m.group(3):  # <style ...>body</style>
+            innards = tag_m.group(4)
+            body = tag_m.group(3)[len(innards) + 1 : -len("</style")]
+            element = "style"
+        else:
+            innards = tag_m.group(5)
+            body = None
+            element = tag_m.group(6).lower()
+
+        if element == "meta":
+            # processMeta (:1002-1062)
+            name = http_equiv = content = None
+            for a in _RE_EACH_ATTR.finditer(innards):
+                val = _htmlmod.unescape(a.group(14) or a.group(15) or a.group(16) or "")
+                an = a.group(1).lower()
+                if an == "name":
+                    name = val
+                elif an == "http-equiv":
+                    http_equiv = val
+                elif an == "content":
+                    content = val
+            if name and name.lower() == "robots" and content is not None:
+                cl = content.lower()
+                if "nofollow" in cl or "none" in cl:
+                    return out  # abort further extraction, keep earlier links
+            elif http_equiv and http_equiv.lower() == "refresh" and content:
+                i = content.find("=") + 1
+                if i > 0:
+                    add(re.sub(r"[\"']", "", content[i:]), "meta", "R")
+            elif content and _is_very_likely_uri(content):
+                add(content, "meta", "X")
+            continue
+
+        # processGeneralTag (:380-590)
+        codebase = None
+        resources: list[str] = []
+        action = action_ctx = method = None
+        value_val = value_ctx = name_val = None
+        link_href = link_rel = None
+        for a in _RE_EACH_ATTR.finditer(innards):
+            val = _htmlmod.unescape(a.group(14) or a.group(15) or a.group(16) or "")
+            attr = a.group(1).lower()
+            ctx = f"{element}/@{attr}"
+            if a.group(2):  # HREF
+                if element == "link":
+                    link_href = val
+                elif val.lower().startswith("javascript:"):
+                    add_js_strings(val[len("javascript:"):])
+                else:
+                    add(val, ctx, "L")
+                if element == "base" and not base_set:
+                    cur_base = _py_resolve(base, val)
+                    base_set = True
+            elif a.group(3):  # ACTION — finished after METHOD is known
+                if not ignore_form_actions:
+                    action, action_ctx = val, ctx
+            elif a.group(4):  # ON* script handler
+                add_js_strings(val)
+            elif a.group(5):  # SRC family
+                hop = (
+                    "L"
+                    if not frames_as_embeds and element in ("frame", "iframe")
+                    else "E"
+                )
+                if (element, attr) in _SRCSET_CONTEXTS:
+                    for u in _srcset_urls(val):
+                        add(u, ctx, hop)
+                else:
+                    add(val, ctx, hop)
+            elif a.group(6):  # CODEBASE
+                codebase = val
+                add(val, ctx, "L")
+            elif a.group(7):  # CLASSID / DATA
+                resources.append(val)
+            elif a.group(8):  # ARCHIVE — space-delimited URI list
+                resources.extend(val.split())
+            elif a.group(9):  # CODE (+ .class for applets)
+                if element == "applet" and not val.lower().endswith(".class"):
+                    val += ".class"
+                resources.append(val)
+            elif a.group(10):  # VALUE — finished after NAME is known
+                value_val, value_ctx = val, ctx
+            elif a.group(11):  # inline STYLE: CSS url() scan
+                for u, cctx, hop in _extract_css_one(val):
+                    add(u, cctx, hop)
+            elif a.group(12):  # METHOD
+                method = val
+            elif a.group(13):
+                if attr == "name":
+                    name_val = val
+                elif attr == "rel":
+                    link_rel = val
+                elif attr == "flashvars":
+                    for kv in val.split("&"):
+                        v = kv.split("=", 1)[-1]
+                        if _is_very_likely_uri(v):
+                            add(v, ctx, "X")
+        # codebase-relative resources (processGeneralTag :548-576)
+        cb = _py_resolve(cur_base, codebase) if codebase else cur_base
+        for res in resources:
+            add(res, element, "E", resolve_base=cb)
+        # LINK tag needs both HREF and REL (processLinkTagWithRel :609-637)
+        if link_href is not None and link_rel is not None:
+            nav = False
+            for kw in re.split(r"[ \t\n\f\r]+", link_rel):
+                lt = kw.lower()
+                if lt in _REL_EMBED:
+                    add(link_href, f"link[rel='{lt}']/@href", "E")
+                    nav = False
+                    break
+                if lt == "pingback":
+                    nav = False
+                    break
+                if lt in _REL_IGNORE:
+                    continue
+                nav = True
+            if nav:
+                add(link_href, "link/@href", "L")
+        # FORM action: only GETs by default (HER-1280, :583-589)
+        if action is not None:
+            if (
+                method is None
+                or method.upper() == "GET"
+                or not extract_only_form_gets
+            ):
+                add(action, action_ctx, "L")
+        # VALUE attribute: flashvars params or likely-URI values (:591-607)
+        if value_val is not None:
+            if element == "param" and name_val and name_val.lower() == "flashvars":
+                for kv in value_val.split("&"):
+                    v = kv.split("=", 1)[-1]
+                    if _is_very_likely_uri(v):
+                        add(v, value_ctx, "X")
+            elif extract_value_attributes and _is_very_likely_uri(value_val):
+                add(value_val, value_ctx, "L")
+
+        if body is not None:
+            if element == "script":
+                add_js_strings(body)
+            else:  # style body
+                for u, cctx, hop in _extract_css_one(body):
+                    add(u, cctx, hop)
+    return out[:MAX_OUTLINKS]
 
 
 _RE_SITEMAP_LINE = re.compile(r"(?i)Sitemap:\s*(.+)$", re.MULTILINE)

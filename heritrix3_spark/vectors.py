@@ -171,3 +171,105 @@ ROBOTS_VECTORS = [
     # prefix -> disallow length 0 -> ALLOWED (RobotsDirectives.java:40-57)
     ("i:80", "User-agent: *\nDisallow: /a\nDisallow: /a/b\n", "any", "/a/c", True, -1.0),
 ]
+
+# ---------------------------------------------------------------------------
+# ExtractorHTML golden vectors — expected (url, hop) sets hand-copied from
+# the reference's own unit expectations (modules/src/test/java/org/archive/
+# modules/extractor/ExtractorHTMLTest.java, line refs per case).
+# (case_id, base, html, [(absolute_url, hop), ...])
+HTML_EXTRACT_VECTORS = [
+    (  # testOnlyExtractFormGets (:182-196, HER-1280): POST action skipped
+        "form_gets",
+        "http://www.example.com/",
+        '<form method="get" action="http://www.example.com/ok1"> '
+        '<form action="http://www.example.com/ok2" method="get"> '
+        '<form method="post" action="http://www.example.com/notok"> '
+        '<form action="http://www.example.com/ok3"> ',
+        [
+            ("http://www.example.com/ok1", "L"),
+            ("http://www.example.com/ok2", "L"),
+            ("http://www.example.com/ok3", "L"),
+        ],
+    ),
+    (  # testMetaContentURI (:198-223): likely-URI content only, 'X' hop
+        "meta_content",
+        "http://www.example.com/",
+        '<meta property="og:video" content="http://www.example.com/absolute.mp4" /> '
+        '<meta property="og:video" content="/relative.mp4" /> '
+        '<meta property="og:video:height" content="333" />'
+        '<meta property="og:video:type" content="video/mp4" />'
+        '<meta property="strangeproperty" content="notaurl" '
+        'meaninglessurl="http://www.example.com/shouldnotbeextracted.html" />',
+        [
+            ("http://www.example.com/absolute.mp4", "X"),
+            ("http://www.example.com/relative.mp4", "X"),
+        ],
+    ),
+    (  # testMetaRobots (:225-243): nofollow aborts extraction
+        "meta_robots",
+        "http://www.example.com/",
+        "Blah <meta name='robots' content='index,nofollow'>"
+        "<a href='blahblah'>blah</a> blah",
+        [],
+    ),
+    (  # testImgSrcSetAttribute (:517-542): srcset split, data: skipped
+        "img_srcset",
+        "http://www.example.com/",
+        '<img width="800" height="1200" src="/images/foo.jpg" '
+        'class="attachment-full size-full" alt="" '
+        'srcset="a,b,c,,, /images/foo1.jpg 800w,data:image/gif;base64,'
+        'R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7 700w, '
+        '/images/foo2.jpg 480w(data:,foo, ,), /images/foo3.jpg 96w(x" '
+        'sizes="(max-width: 800px) 100vw, 800px">',
+        [
+            ("http://www.example.com/a,b,c", "E"),
+            ("http://www.example.com/images/foo.jpg", "E"),
+            ("http://www.example.com/images/foo1.jpg", "E"),
+            ("http://www.example.com/images/foo2.jpg", "E"),
+            ("http://www.example.com/images/foo3.jpg", "E"),
+        ],
+    ),
+    (  # testSourceSrcSetAttribute (:543-570)
+        "source_srcset",
+        "http://www.example.com/",
+        '<picture><source media="(min-width: 992px)" srcset="images/foo1.jpg"> '
+        '<source media="(min-width: 500px)" SRCSET="images/foo2.jpg"> '
+        '<source media="(min-width: 0px)" srcSet="images/foo3-1x.jpg 1x, '
+        'images/foo3-2x.jpg 2x"> '
+        '<img src="images/foo.jpg" alt=""> </picture>',
+        [
+            ("http://www.example.com/images/foo.jpg", "E"),
+            ("http://www.example.com/images/foo1.jpg", "E"),
+            ("http://www.example.com/images/foo2.jpg", "E"),
+            ("http://www.example.com/images/foo3-1x.jpg", "E"),
+            ("http://www.example.com/images/foo3-2x.jpg", "E"),
+        ],
+    ),
+    (  # testLinkRel (:694-726): rel keyword routing incl. pingback drop
+        "link_rel",
+        "https://www.example.org/",
+        "<link href='/pingback' rel='pingback'>"
+        "<link href='/style.css' rel=stylesheet>"
+        "<link rel='my stylesheet rocks' href=/style2.css>"
+        "<link rel=icon href=/icon.ico>"
+        "<link href='http://dns-prefetch.example.com/' rel=dns-prefetch>"
+        "<link href=/without-rel>"
+        "<link href=/empty-rel rel=''>"
+        "<link href=/just-spaces rel='   '>"
+        "<link href=/canonical rel=canonical>"
+        "<link href=/unknown rel=unknown>",
+        [
+            ("https://www.example.org/icon.ico", "E"),
+            ("https://www.example.org/style.css", "E"),
+            ("https://www.example.org/style2.css", "E"),
+            ("https://www.example.org/canonical", "L"),
+            ("https://www.example.org/unknown", "L"),
+        ],
+    ),
+    (  # testDataUrisAreIgnored (:272-284)
+        "data_uris",
+        "http://www.example.com/",
+        '<img src="data:image/png;base64,iVBORw0KGg=="> <a href="/real">x</a>',
+        [("http://www.example.com/real", "L")],
+    ),
+]
