@@ -144,11 +144,90 @@ class Robotstxt:
             return self.wildcard
         return NO_DIRECTIVES
 
+    def directives_for_named(self, ua: str) -> Directives | None:
+        """getDirectivesFor(ua, false) — named match only, no wildcard
+        fallback (Robotstxt.java:230-256)."""
+        ua = (ua or "").lower()
+        for listed in self.named_uas:
+            if listed in ua:
+                return self.agents[listed]
+        return None
+
     def allows(self, ua: str, path: str) -> bool:
         return self.directives_for(ua).allows_path(path)
 
     def crawl_delay(self, ua: str) -> float:
         return self.directives_for(ua).crawl_delay
+
+
+# ---------------------------------------------------------------------------
+# RobotsPolicy variants (modules/.../net/RobotsPolicy.java:34-40 registry:
+# obey/classic, ignore, robotsTxtOnly, firstNamed, mostFavored, custom)
+# ---------------------------------------------------------------------------
+def policy_allows(
+    policy: str,
+    robots: "Robotstxt",
+    ua: str,
+    path: str,
+    candidates: tuple[str, ...] = (),
+    custom_fn=None,
+) -> bool:
+    """allows() under a named RobotsPolicy.
+
+    * obey / classic / robotsTxtOnly — ObeyRobotsPolicy.allows (the
+      robotsTxtOnly variant differs only in meta-robots handling, see
+      :func:`obeys_meta_robots_nofollow`);
+    * firstNamed — FirstNamedRobotsPolicy.allows (:79-96): our UA's NAMED
+      group if present, else the first candidate UA with a named group,
+      else the full wildcard-falling lookup;
+    * mostFavored — MostFavoredRobotsPolicy.allows (:74-90): allowed if our
+      UA or ANY candidate UA is allowed;
+    * ignore — IgnoreRobotsPolicy: always allowed;
+    * custom — CustomRobotsPolicy: delegate to ``custom_fn``.
+    """
+    if policy == "ignore":
+        return True
+    if policy == "custom":
+        if custom_fn is None:
+            raise ValueError("custom robots policy needs custom_fn")
+        return bool(custom_fn(robots, ua, path))
+    if policy == "firstNamed":
+        d = robots.directives_for_named(ua)
+        if d is not None:
+            return d.allows_path(path)
+        for cand in candidates:
+            d = robots.directives_for_named(cand)
+            if d is not None:
+                return d.allows_path(path)
+        return robots.allows(ua, path)
+    if policy == "mostFavored":
+        if robots.allows(ua, path):
+            return True
+        return any(robots.allows(cand, path) for cand in candidates)
+    # obey / classic / robotsTxtOnly
+    return robots.allows(ua, path)
+
+
+def obeys_meta_robots_nofollow(policy: str) -> bool:
+    """Whether HTML meta-robots nofollow aborts extraction under a policy
+    (ObeyRobotsPolicy yes; RobotsTxtOnlyPolicy.java:34-38 overrides to no;
+    Ignore/Custom no)."""
+    return policy in ("obey", "classic", "firstNamed", "mostFavored")
+
+
+def make_policy_allow_udf(policy: str, candidates: tuple[str, ...] = ()):
+    """Pandas-UDF factory: vectorized allow check under a named policy."""
+
+    @pandas_udf(BooleanType())
+    def _udf(body: pd.Series, ua: pd.Series, path: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                policy_allows(policy, _parse_cached(b or ""), u or "", p or "", candidates)
+                for b, u, p in zip(body, ua, path)
+            ]
+        )
+
+    return _udf
 
 
 @lru_cache(maxsize=4096)

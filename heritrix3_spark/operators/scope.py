@@ -121,6 +121,177 @@ def matches_list_regex(uri: Column, patterns: list[str], decision: int = REJECT)
     return F.when(cond, F.lit(decision)).otherwise(F.lit(NONE))
 
 
+# ---------------------------------------------------------------------------
+# DecideRule tail (deciderules/*.java) — each a tri-state Column
+# ---------------------------------------------------------------------------
+def not_surt_prefixed(uri: Column, prefixes: list[str], decision: int = REJECT) -> Column:
+    """NotSurtPrefixedDecideRule (deciderules/surt/NotSurtPrefixedDecideRule
+    .java): decision when the SURT form does NOT start with any prefix."""
+    s = surt_col(uri)
+    arr = F.array(*[F.lit(p) for p in prefixes])
+    hit = F.exists(arr, lambda p: s.startswith(p))
+    return F.when(~hit, F.lit(decision)).otherwise(F.lit(NONE))
+
+
+def _host_of(uri: Column) -> Column:
+    return F.lower(
+        F.regexp_extract(uri, r"^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:]*)", 1)
+    )
+
+
+def on_domains(uri: Column, domains: list[str], decision: int = ACCEPT) -> Column:
+    """MatchesOnDomainsDecideRule semantics (deciderules/surt/
+    OnDomainsDecideRule.java): host equals a domain or is a subdomain."""
+    h = _host_of(uri)
+    arr = F.array(*[F.lit(d.lower()) for d in domains])
+    hit = F.exists(arr, lambda d: (h == d) | h.endswith(F.concat(F.lit("."), d)))
+    return F.when(hit, F.lit(decision)).otherwise(F.lit(NONE))
+
+
+def not_on_domains(uri: Column, domains: list[str], decision: int = REJECT) -> Column:
+    """NotOnDomainsDecideRule: decision when host is NOT on any domain."""
+    h = _host_of(uri)
+    arr = F.array(*[F.lit(d.lower()) for d in domains])
+    hit = F.exists(arr, lambda d: (h == d) | h.endswith(F.concat(F.lit("."), d)))
+    return F.when(~hit, F.lit(decision)).otherwise(F.lit(NONE))
+
+
+def on_hosts(uri: Column, hosts: list[str], decision: int = ACCEPT) -> Column:
+    """OnHostsDecideRule: exact host membership."""
+    return F.when(_host_of(uri).isin(*[h.lower() for h in hosts]), F.lit(decision)).otherwise(
+        F.lit(NONE)
+    )
+
+
+def not_on_hosts(uri: Column, hosts: list[str], decision: int = REJECT) -> Column:
+    """NotOnHostsDecideRule: decision when host is NOT in the set."""
+    return F.when(
+        ~_host_of(uri).isin(*[h.lower() for h in hosts]), F.lit(decision)
+    ).otherwise(F.lit(NONE))
+
+
+def has_via(via: Column, decision: int = ACCEPT) -> Column:
+    """HasViaDecideRule (deciderules/HasViaDecideRule.java): decision when
+    the URI was discovered via another (non-seed)."""
+    return F.when(via.isNotNull() & (F.length(via) > 0), F.lit(decision)).otherwise(
+        F.lit(NONE)
+    )
+
+
+def via_surt_prefixed(via: Column, prefixes: list[str], decision: int = ACCEPT) -> Column:
+    """ViaSurtPrefixedDecideRule: SURT-prefix test applied to the via."""
+    s = surt_col(via)
+    arr = F.array(*[F.lit(p) for p in prefixes])
+    hit = via.isNotNull() & F.exists(arr, lambda p: s.startswith(p))
+    return F.when(hit, F.lit(decision)).otherwise(F.lit(NONE))
+
+
+def hops_path_matches_regex(
+    hops_path: Column, pattern: str, decision: int = ACCEPT
+) -> Column:
+    """HopsPathMatchesRegexDecideRule: regex over the hop-char path."""
+    return F.when(hops_path.rlike(pattern), F.lit(decision)).otherwise(F.lit(NONE))
+
+
+def source_seed(source_tag: Column, seeds: list[str], decision: int = ACCEPT) -> Column:
+    """SourceSeedDecideRule (deciderules/SourceSeedDecideRule.java): decision
+    when the URI's source seed (sourceTag) is one of the given seeds. Takes
+    the source-tag column explicitly (enable source tagging to populate)."""
+    return F.when(source_tag.isin(*seeds), F.lit(decision)).otherwise(F.lit(NONE))
+
+
+def hop_crosses_assignment_level_domain(uri: Column, via: Column) -> Column:
+    """HopCrossesAssignmentLevelDomainDecideRule: decision (REJECT form here)
+    when uri and via live in different assignment-level domains."""
+    from heritrix3_spark.functions.surt import assignment_level_class_key_col
+
+    a = assignment_level_class_key_col(uri)
+    b = assignment_level_class_key_col(via)
+    crossed = via.isNotNull() & (a != b)
+    return F.when(crossed, F.lit(REJECT)).otherwise(F.lit(NONE))
+
+
+#: MatchesFilePatternDecideRule presets (deciderules/
+#: MatchesFilePatternDecideRule.java:34-49 — the published regexes)
+FILE_PATTERN_PRESETS = {
+    "ALL": (
+        r".*(?i)(\.(bmp|gif|jpe?g|png|svg|tiff?|aac|aiff?|m3u|m4a|midi?"
+        r"|mp2|mp3|mp4|mpa|ogg|ra|ram|wav|wma|asf|asx|avi|flv|mov|mp4"
+        r"|mpeg|mpg|qt|ram|rm|smil|wmv|doc|pdf|ppt|swf))$"
+    ),
+    "IMAGES": r".*(?i)(\.(bmp|gif|jpe?g|png|svg|tiff?))$",
+    "AUDIO": r".*(?i)(\.(aac|aiff?|m3u|m4a|midi?|mp2|mp3|mp4|mpa|ogg|ra|ram|wav|wma))$",
+    "VIDEO": r".*(?i)(\.(asf|asx|avi|flv|mov|mp4|mpeg|mpg|qt|ram|rm|smil|wmv))$",
+    "MISC": r".*(?i)(\.(doc|pdf|ppt|swf))$",
+}
+
+
+def matches_file_pattern(
+    uri: Column, preset: str = "ALL", decision: int = ACCEPT
+) -> Column:
+    """MatchesFilePatternDecideRule with the reference's preset regexes."""
+    # Java embeds (?i) mid-pattern; Spark's RE2-like engine wants it leading
+    pat = "(?i)" + FILE_PATTERN_PRESETS[preset].replace("(?i)", "")
+    return F.when(uri.rlike(pat), F.lit(decision)).otherwise(F.lit(NONE))
+
+
+# --- post-fetch rules (read response columns) ------------------------------
+def fetch_status_matches_regex(
+    fetch_status: Column, pattern: str, decision: int = ACCEPT
+) -> Column:
+    """FetchStatusMatchesRegexDecideRule: regex over the stringified code."""
+    return F.when(fetch_status.cast("string").rlike(pattern), F.lit(decision)).otherwise(
+        F.lit(NONE)
+    )
+
+
+def fetch_status_not_matches_regex(
+    fetch_status: Column, pattern: str, decision: int = REJECT
+) -> Column:
+    return F.when(
+        ~fetch_status.cast("string").rlike(pattern), F.lit(decision)
+    ).otherwise(F.lit(NONE))
+
+
+def content_type_matches_regex(
+    content_type: Column, pattern: str, decision: int = ACCEPT
+) -> Column:
+    """ContentTypeMatchesRegexDecideRule (needs a content_type column)."""
+    return F.when(
+        content_type.isNotNull() & content_type.rlike(pattern), F.lit(decision)
+    ).otherwise(F.lit(NONE))
+
+
+def content_type_not_matches_regex(
+    content_type: Column, pattern: str, decision: int = REJECT
+) -> Column:
+    return F.when(
+        content_type.isNotNull() & ~content_type.rlike(pattern), F.lit(decision)
+    ).otherwise(F.lit(NONE))
+
+
+def content_length_at_most(
+    content_length: Column, threshold: int, decision: int = ACCEPT
+) -> Column:
+    """ContentLengthDecideRule: decision when content-length <= threshold
+    (deciderules/ContentLengthDecideRule.java)."""
+    return F.when(content_length <= threshold, F.lit(decision)).otherwise(F.lit(NONE))
+
+
+def resource_longer_than(
+    content_length: Column, threshold: int, decision: int = REJECT
+) -> Column:
+    """ResourceLongerThanDecideRule / (with decision=ACCEPT the NoLongerThan
+    complement inverts the comparison at the call site)."""
+    return F.when(content_length > threshold, F.lit(decision)).otherwise(F.lit(NONE))
+
+
+def scripted(predicate: Column, decision: int = ACCEPT) -> Column:
+    """ScriptedDecideRule's pluggable hook: any boolean Column (or a
+    pandas-UDF-backed one) becomes a tri-state rule."""
+    return F.when(predicate, F.lit(decision)).otherwise(F.lit(NONE))
+
+
 def decide_sequence(*rules: Column) -> Column:
     """Fold: last non-NONE wins; all-NONE -> REJECT (out of scope)."""
     nullified = [F.when(r != NONE, r) for r in reversed(rules)]
