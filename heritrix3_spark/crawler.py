@@ -157,6 +157,21 @@ class CrawlConfig:
     # URI retires its queue WITHOUT being disposed (re-queued, no log row);
     # False marks it S_BLOCKED_BY_QUOTA -> disposed as failure.
     force_retire: bool = True
+    # seedsRedirectNewSeeds (CandidatesProcessor.java:88,117,186-194,
+    # 270-278, default true): a candidate discovered from a seed via an 'R'
+    # hop with hop count < 5 becomes a seed itself — forceFetch (HER-1891,
+    # bypasses url-seen), NORMAL->MEDIUM, and its implied SURT prefix joins
+    # the scope for subsequent rounds (addSeed announce; in the macro-batch
+    # model the prefix lands at round end — documented divergence from the
+    # serial in-batch announce).
+    seeds_redirect_new_seeds: bool = True
+    # SeedAcceptDecideRule (deciderules/SeedAcceptDecideRule.java:42) in the
+    # late position: seeds always pass scope (needed for redirect-promoted
+    # seeds on brand-new hosts; off = the reference's default chain).
+    seed_accept: bool = False
+    # cost policy (frontier/UnitCost|AntiCalendar|WagCostAssignmentPolicy):
+    # "unit" (default) | "anticalendar" | "wag"
+    cost_policy: str = "unit"
     # sheet overlays (org.archive.spring.Sheet / SheetOverlaysManager,
     # commons/.../spring/Sheet.java:50, profile-crawler-beans.cxml:691):
     # per-SURT-prefix config overrides, applied to a queue when its
@@ -293,7 +308,11 @@ class CrawlEngine:
             F.col("sched_directive"),
             preference_embed_hops=self.cfg.preference_embed_hops,
         )
-        cost = FR.unit_cost_col()
+        cost = {
+            "unit": FR.unit_cost_col,
+            "anticalendar": lambda: FR.anti_calendar_cost_col(F.col("uri")),
+            "wag": lambda: FR.wag_cost_col(F.col("uri"), F.col("via")),
+        }[self.cfg.cost_policy]()
         out = (
             cand.withColumn("sched_directive", directive)
             .withColumn("canonical", canonical_col(F.col("uri")))
@@ -637,17 +656,36 @@ class CrawlEngine:
             self.clock = max(self.clock + 1, min(wake_targets))
 
         eligible_keys = live.filter(F.col("wake_time") <= self.clock).select("class_key")
-        # session budget caps per-activation spend (unit cost): see CrawlConfig
-        k_eff = min(cfg.k_per_host, max(1, cfg.session_budget))
         # sheet overlays may override k per queue (first matching prefix wins)
-        k_col = self._overlay_col("k_per_host", F.lit(k_eff))
+        k_col = self._overlay_col("k_per_host", F.lit(cfg.k_per_host))
         joined = frontier.join(
             F.broadcast(eligible_keys.withColumn("__k", k_col)), "class_key"
         )
-        emitted = (
-            FR.queue_rank(joined)
+        # session budget (expenditureAtLastActivation law, WorkQueue.java:
+        # 233-265): every round re-activates (replenish), so a queue emits
+        # while its spend-since-round-start <= sessionBudget. Cost-aware:
+        # the running sum of insert-key-ordered costs, one window with the
+        # head-pick rank (same partitioning — no extra shuffle).
+        w = Window.partitionBy("class_key").orderBy(*FR.insert_key_order())
+        # rank-filter FIRST so the row_number window keeps its map-side
+        # WindowGroupLimit prune; the cost cumsum then runs over <=k
+        # survivors on the same partitioning (exchange reuse, no shuffle)
+        ranked = (
+            joined.withColumn("queue_rank", F.row_number().over(w))
             .filter(F.col("queue_rank") <= F.col("__k"))
-            .drop("queue_rank", "__k")
+        )
+        emitted = (
+            ranked.withColumn(
+                "__spend_before",
+                F.coalesce(
+                    F.sum("cost").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .filter(F.col("__spend_before") <= cfg.session_budget)
+            .drop("queue_rank", "__k", "__spend_before")
         )
 
         # --- precondition gate: DNS first, then robots, then quotas
@@ -678,12 +716,13 @@ class CrawlEngine:
             # the bounded server-name list, not the tables), then join the
             # pruned remnant back. AQE picks broadcast for the remnant when
             # it is small and a co-partitioned shuffle join when it isn't.
-            # eager: broadcast subtrees run as separate driver jobs BEFORE
-            # the main job, so a lazy cache would let each of them re-execute
-            # the emitted lineage (frontier scan + head-pick window)
-            emitted = emitted.persist()
-            emitted.count()
-            self._round_caches.append(emitted)
+            # eager localCheckpoint: (a) broadcast subtrees run as separate
+            # driver jobs BEFORE the main job, so a lazy frame would let each
+            # of them re-execute the emitted lineage; (b) it TRUNCATES the
+            # logical plan, so the dozen downstream actions this round stop
+            # re-analyzing the frontier-scan + head-pick tree (driver-side
+            # Catalyst time dominates tiny rounds; measured ~2x round cost)
+            emitted = emitted.localCheckpoint()
             round_servers = emitted.select(F.col("__server").alias("__srv")).distinct()
             if cfg.dns == "obey" and self.dns_t.exists():
                 dns = self.dns_t.read(self.spark).select(
@@ -852,7 +891,10 @@ class CrawlEngine:
                 .otherwise(F.lit("fail")),
             )
         )
-        fetched = fetched.persist()
+        # localCheckpoint, not persist: every downstream action (journal,
+        # documents sink, candidates, host/quota updates) re-plans from this
+        # frame; truncating lineage keeps those plans shallow
+        fetched = fetched.localCheckpoint()
 
         # --- crawl log / journal rows (one combined events append) --------
         log_rows = fetched.filter(F.col("disposition") != "blocked").select(
@@ -893,6 +935,7 @@ class CrawlEngine:
             F.col("uri").alias("parent_uri"),
             F.col("hops_path").alias("parent_hops"),
             F.col("ordinal").alias("parent_ordinal"),
+            F.col("is_seed").alias("parent_is_seed"),
             "spans",
         )
         outlinks = extract_outlinks_from_spans(pages, doc_id="page", spans="spans").join(
@@ -904,6 +947,7 @@ class CrawlEngine:
             F.col("parent_uri").alias("via"),
             F.col("context").alias("via_context"),
             F.lit(FR.NORMAL).alias("sched_directive"),
+            "parent_is_seed",
             "parent_ordinal",
             "outlink_index",
         )
@@ -933,31 +977,80 @@ class CrawlEngine:
                 F.col("canonical").alias("via"),
                 F.lit("prereq").alias("via_context"),
                 F.lit(FR.HIGHEST).alias("sched_directive"),
+                F.lit(False).alias("parent_is_seed"),
                 F.col("ordinal").alias("parent_ordinal"),
                 F.lit(-1).alias("outlink_index"),
             )
             cand = prereqs.unionByName(cand)
-        in_scope = cand.filter(
-            SC.default_scope(
-                F.col("uri"), F.col("hops_path"), self.seed_prefixes, cfg.max_hops
-            )
+        # seedsRedirectNewSeeds (CandidatesProcessor.java:186-194): a seed's
+        # 'R'-hop discovery within 5 hops is itself a seed (pre-scope mark)
+        promoted = (
+            F.lit(cfg.seeds_redirect_new_seeds)
+            & F.col("parent_is_seed")
+            & (F.substring(F.col("hops_path"), -1, 1) == "R")
+            & (F.length(F.col("hops_path")) < 5)
         )
+        cand = cand.withColumn("is_seed", promoted).drop("parent_is_seed")
+        scope_ok = SC.default_scope(
+            F.col("uri"), F.col("hops_path"), self.seed_prefixes, cfg.max_hops
+        )
+        if cfg.seed_accept:
+            # SeedAcceptDecideRule in the late position: seeds always pass
+            scope_ok = scope_ok | F.col("is_seed")
+        in_scope = cand.filter(scope_ok)
         prepared = self._prepare(in_scope)
-        # in-batch first-discovery wins (serial add() order)
+        # checkForSeedPromotion (:270-278): discovered seeds get MEDIUM +
+        # forceFetch (HER-1891); plus the redirect-canonical-collision
+        # forceFetch law (FrontierPreparer.java:236-256)
+        last_hop = F.substring(F.col("hops_path"), -1, 1)
+        collision = (
+            (last_hop == "R")
+            & F.col("via").isNotNull()
+            & (F.col("canonical") == canonical_col(F.col("via")))
+            & (F.col("uri") != F.col("via"))
+        )
+        prepared = prepared.withColumn(
+            "sched_directive",
+            F.when(
+                F.col("is_seed")
+                & F.col("via").isNotNull()
+                & (F.col("sched_directive") == FR.NORMAL),
+                F.lit(FR.MEDIUM),
+            ).otherwise(F.col("sched_directive")),
+        ).withColumn(
+            "force_fetch",
+            (F.col("is_seed") & F.col("via").isNotNull()) | collision,
+        )
+        # forceFetch rows bypass BOTH the in-batch dedup and the url-seen
+        # anti-join (processScheduleAlways / addForce,
+        # WorkQueueFrontier.java:347-379). In-batch first-discovery wins for
+        # normal rows, and an EARLIER forced discovery claims the fp too
+        # (serial addForce marks it seen) — so rank over normal+forced and
+        # keep a normal row only when it is its fp's first discovery.
         w = Window.partitionBy("fp").orderBy("parent_ordinal", "outlink_index")
+        # localCheckpoint: the forced/normal split reads this frame twice —
+        # without the barrier each branch re-executes the whole extract ->
+        # scope -> prepare (pandas-UDF) subtree
+        ranked_cand = prepared.withColumn(
+            "__rk", F.row_number().over(w)
+        ).localCheckpoint()
+        forced = ranked_cand.filter(F.col("force_fetch")).drop("__rk")
         first = (
-            prepared.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
+            ranked_cand.filter(~F.col("force_fetch") & (F.col("__rk") == 1))
             .drop("__rk")
         )
-        novel = self.urlseen.filter_novel(first)
+        novel = self.urlseen.filter_novel(first).unionByName(forced)
         novel = self._assign_ordinals(novel, ["parent_ordinal", "outlink_index"])
         novel_rows = novel.select(
-            "uri", "canonical", "fp", "class_key", F.lit(False).alias("is_seed"),
+            "uri", "canonical", "fp", "class_key", "is_seed",
             "hops_path", "via", "via_context", "sched_directive", "precedence",
-            "cost", "ordinal", F.lit(0).alias("fetch_attempts"),
-            F.lit(False).alias("force_fetch"),
-        ).persist()
+            "cost", "ordinal", F.lit(0).alias("fetch_attempts"), "force_fetch",
+        ).localCheckpoint()
+        # forced rows are rare and round-bounded: collect them (tiny) to
+        # drive the exact-path seen insert + the addSeed scope announce
+        forced_rows = novel_rows.filter(F.col("force_fetch")).select(
+            "canonical", "is_seed", "via", "fp"
+        ).collect()
         timer.mark("dedup+ordinals")
         self.events_t.append(
             log_rows.unionByName(
@@ -970,10 +1063,19 @@ class CrawlEngine:
                     "ordinal",
                     F.lit(None).cast("int").alias("fetch_status"),
                     F.lit(None).cast("string").alias("disposition"),
-                    F.lit(False).alias("is_seed"),
+                    "is_seed",
                 )
             )
         )
+
+        # addSeed announce: promoted seeds extend the scope's SURT-prefix
+        # set for subsequent rounds (SurtPrefixedDecideRule.addedSeed)
+        new_prefixes = SC.seed_surt_prefixes(
+            [r.canonical for r in forced_rows if r.is_seed and r.via is not None]
+        )
+        for p in new_prefixes:
+            if p not in self.seed_prefixes:
+                self.seed_prefixes.append(p)
 
         timer.mark("events-append")
         # --- futureUris scheduling (rescheduleTime, CrawlURI.java:1650-1653):
@@ -1011,7 +1113,12 @@ class CrawlEngine:
             )
 
         # --- frontier update ---------------------------------------------
-        emitted_keys = fetched.select("fp").withColumnRenamed("fp", "__done_fp")
+        # removal is by ordinal (unique per row) not fp: forceFetch can put
+        # two rows with the same fp in the frontier, and an fp-keyed
+        # anti-join would wrongly drop the unemitted twin
+        emitted_keys = fetched.select("ordinal").withColumnRenamed(
+            "ordinal", "__done_ord"
+        )
         retries = (
             fetched.filter(F.col("__retry"))
             .select(
@@ -1027,7 +1134,7 @@ class CrawlEngine:
             "fetch_attempts", "force_fetch",
         )
         remaining = frontier.join(
-            emitted_keys, frontier["fp"] == F.col("__done_fp"), "left_anti"
+            emitted_keys, frontier["ordinal"] == F.col("__done_ord"), "left_anti"
         )
         new_frontier = (
             remaining.unionByName(retries)
@@ -1039,10 +1146,18 @@ class CrawlEngine:
         timer.mark("frontier-write")
         # --- url_seen update (fast delta append; already anti-joined) ------
         self.urlseen.add_fps(
-            novel_rows.select("fp"),
+            novel_rows.filter(~F.col("force_fetch")).select("fp"),
             assume_novel=True,
             n_hint=getattr(self, "_last_novel_count", None),
         )
+        if forced_rows:
+            # forced fps were NOT anti-joined; insert via the exact path so
+            # the seen table stays duplicate-free (tiny driver-side batch)
+            self.urlseen.add_fps(
+                self.spark.createDataFrame(
+                    [(int(r.fp),) for r in forced_rows], "fp long"
+                )
+            )
 
         timer.mark("urlseen-append")
         # --- host_state update ---------------------------------------------
@@ -1228,8 +1343,6 @@ class CrawlEngine:
                 "deepest_queue long, congestion_ratio double",
             )
             self.metrics_t.append(metrics_row)
-        fetched.unpersist()
-        novel_rows.unpersist()
         for df in self._round_caches:
             df.unpersist()
         self._round_caches.clear()

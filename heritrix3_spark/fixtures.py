@@ -122,6 +122,29 @@ def synth_web_df(
     return df
 
 
+def redirect_web_rows(hosts: int, pages: int) -> list[tuple]:
+    """The synthetic web fronted by per-host redirectors: seed
+    ``redir{i}.example/p0`` 301-redirects (a ``location`` span, hop R) to
+    ``h{i}.example/p0`` — the seedsRedirectNewSeeds fixture."""
+    rows = [
+        (
+            f"http://redir{i}.example/p0",
+            [("location", None, f"http://h{i}.example/p0", 0)],
+        )
+        for i in range(hosts)
+    ]
+    return rows + synth_web_rows(hosts, pages)
+
+
+def redirect_seed_lines(hosts: int) -> list[str]:
+    return [f"http://redir{i}.example/p0" for i in range(hosts)]
+
+
+def redirect_status_overrides(hosts: int) -> dict[str, int]:
+    """Redirector pages answer 301 (Location header analog)."""
+    return {f"http://redir{i}.example/p0": 301 for i in range(hosts)}
+
+
 def seed_lines(hosts: int) -> list[str]:
     """Seed-file lines incl. scheme-less + comment/blank + canonical-dup
     (TextSeedModule law, modules/.../seeds/TextSeedModule.java:96-188)."""

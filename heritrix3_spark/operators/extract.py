@@ -39,8 +39,9 @@ OUTLINK_TYPE = StructType(
     ]
 )
 
-#: span kind -> hop char (FIXTURES.md §1; ExtractorHTML semantics)
-KIND_HOP = {"link": "L", "img": "E", "script": "E", "css": "E", "media": "E"}
+#: span kind -> hop char (FIXTURES.md §1; ExtractorHTML/ExtractorHTTP
+#: semantics — a "location" span is the Location-header redirect, hop R)
+KIND_HOP = {"link": "L", "img": "E", "script": "E", "css": "E", "media": "E", "location": "R"}
 
 
 def resolve_ref_col(base: Column, ref: Column) -> Column:

@@ -73,6 +73,12 @@ class SimConfig:
     # full law; checks run against ROUND-START stats in both engines)
     quotas: tuple = ()
     force_retire: bool = True
+    # seedsRedirectNewSeeds / SeedAcceptDecideRule / cost policy — laws
+    # shared with CrawlConfig (see crawler.py field docs)
+    seeds_redirect_new_seeds: bool = True
+    seed_accept: bool = False
+    cost_policy: str = "unit"
+    session_budget_cost_law: bool = True  # always on; kept for doc symmetry
 
 
 @dataclass
@@ -154,20 +160,41 @@ def simulate(
     web: dict[str, list[tuple]],
     seed_lines: list[str],
     config: SimConfig | None = None,
+    status_overrides: dict[str, int] | None = None,
 ):
     """Run the golden crawl.
 
     ``web``: {url: [(kind, text, media_ref, offset), ...]}.
+    ``status_overrides``: canonical -> fetch status (e.g. 301 redirects).
     Returns (log, seen_fps): log rows are dicts with round/class_key/uri/
     canonical/ordinal/disposition/fetch_status.
     """
     import re as _re
 
     cfg = config or SimConfig()
+    overrides = status_overrides or {}
     queues: dict[str, Queue] = {}
     seen: set[int] = set()
     log: list[dict] = []
     next_ordinal = 1
+
+    def _cost(uri: str, via: str | None) -> int:
+        """Cost policies (Unit/AntiCalendar/WagCostAssignmentPolicy laws)."""
+        if cfg.cost_policy == "anticalendar":
+            pat = (
+                r"(calendar)|(year)|(month)|(day)|(date)|(viewcal)"
+                r"|(\?m=)|(&m=)|(\?y=)|(&y=)|(\?d=)|(&d=)"
+            )
+            return 2 if _re.search(pat, uri, _re.I) else 1
+        if cfg.cost_policy == "wag":
+            c = 1
+            if "?" in uri:
+                c += 1
+                pre_q = uri.split("?", 1)[0]
+                if via and via.startswith(pre_q):
+                    c += 1
+            return c
+        return 1
 
     # --- seeds (TextSeedModule law) -----------------------------------
     seed_uris: list[str] = []
@@ -189,15 +216,17 @@ def simulate(
             if p not in prefixes:
                 prefixes.append(p)
 
-    def schedule(uri, hops_path, via, is_seed, directive):
+    def schedule(uri, hops_path, via, is_seed, directive, force=False):
+        """schedule->add (or addForce when ``force``): returns True when
+        the URI entered the frontier."""
         nonlocal next_ordinal
         canonical = canonicalize(uri)
         fp = create_key(canonical)
-        if fp in seen:
-            return
+        if fp in seen and not force:
+            return False
         seen.add(fp)
         ck = surt_authority_class_key(canonical, hops_path, via)
-        cost = 1  # UnitCostAssignmentPolicy
+        cost = _cost(uri, via)
         s = SimURI(
             uri=uri,
             canonical=canonical,
@@ -212,6 +241,7 @@ def simulate(
         )
         next_ordinal += 1
         queues.setdefault(ck, Queue()).pending.append(s)
+        return True
 
     for u in seed_uris:
         schedule(u, "", None, True, MEDIUM)
@@ -304,7 +334,15 @@ def simulate(
         for ck in sorted(eligible):
             q = eligible[ck]
             q.pending.sort(key=_sort_key)
-            take = q.pending[: overlay(ck, "k_per_host", cfg.k_per_host)]
+            # session budget (expenditureAtLastActivation law): emit while
+            # rank <= k AND the spend of earlier emits <= sessionBudget
+            k = overlay(ck, "k_per_host", cfg.k_per_host)
+            take, spend = [], 0
+            for u in q.pending:
+                if len(take) >= k or spend > cfg.session_budget:
+                    break
+                take.append(u)
+                spend += u.cost
             q.pending = q.pending[len(take) :]
             t_host = T
             requeue = []
@@ -343,6 +381,7 @@ def simulate(
                                 curi.hops_path + "P",
                                 curi.canonical,
                                 HIGHEST,
+                                False,
                             )
                         )
                     else:
@@ -385,7 +424,9 @@ def simulate(
                 if is_dns:
                     status = 1  # S_DNS_SUCCESS (synthetic resolution)
                 else:
-                    status = 200 if curi.canonical in web else 404
+                    status = overrides.get(
+                        curi.canonical, 200 if curi.canonical in web else 404
+                    )
                 duration = cfg.fetch_duration_ms
                 delay = int(cfg.delay_factor * duration)
                 delay = max(delay, cfg.min_delay_ms)
@@ -446,15 +487,21 @@ def simulate(
                         (T + cfg.recrawl_interval_ms, _replace(curi, fetch_attempts=0))
                     )
                 if 200 <= status < 400:
-                    for kind, text, ref, offset in web[curi.canonical]:
-                        if kind not in ("link", "img", "script", "css", "media"):
+                    for kind, text, ref, offset in web.get(curi.canonical, []):
+                        if kind not in ("link", "img", "script", "css", "media", "location"):
                             continue
                         if ref is None or ref.startswith("data:"):
                             continue
-                        hop = "L" if kind == "link" else "E"
+                        hop = (
+                            "L" if kind == "link" else "R" if kind == "location" else "E"
+                        )
                         url = _resolve(curi.canonical, ref)
                         candidates.append(
-                            (curi.ordinal, offset, url, curi.hops_path + hop, curi.uri, NORMAL)
+                            (
+                                curi.ordinal, offset, url,
+                                curi.hops_path + hop, curi.uri, NORMAL,
+                                curi.is_seed,
+                            )
                         )
             q.pending.extend(requeue)
             q.wake_time = t_host
@@ -496,11 +543,46 @@ def simulate(
                         st["novel_urls"] += 1
         # candidate processing in discovery order (prereqs sort first: -1)
         candidates.sort(key=lambda c: (c[0], c[1]))
-        for parent_ord, idx, url, hops, via, cur_directive in candidates:
-            if not _scope_ok(url, hops, prefixes, cfg.max_hops):
+        pending_prefixes: list[str] = []
+        for parent_ord, idx, url, hops, via, cur_directive, parent_is_seed in candidates:
+            # seedsRedirectNewSeeds pre-scope mark (CandidatesProcessor law)
+            promoted = (
+                cfg.seeds_redirect_new_seeds
+                and parent_is_seed
+                and hops.endswith("R")
+                and len(hops) < 5
+            )
+            in_scope = _scope_ok(url, hops, prefixes, cfg.max_hops)
+            if cfg.seed_accept and promoted:
+                in_scope = True  # SeedAcceptDecideRule (late position)
+            if not in_scope:
                 continue
             directive = _directive(hops, cur_directive, cfg.preference_embed_hops)
-            schedule(url, hops, via, False, directive)
+            if promoted and directive == NORMAL:
+                directive = MEDIUM  # checkForSeedPromotion :270-278
+            canonical = canonicalize(url)
+            # forceFetch: promoted seed (HER-1891) or redirect-canonical
+            # collision (FrontierPreparer.java:236-256)
+            collision = (
+                hops.endswith("R")
+                and via is not None
+                and canonical == canonicalize(via)
+                and url != via
+            )
+            force = (promoted and via is not None) or collision
+            scheduled = schedule(url, hops, via, promoted, directive, force=force)
+            if scheduled and promoted:
+                s = surt(canonical)
+                i = s.find(")")
+                if i != -1:
+                    p = s[: i + 1]
+                    if p.startswith("https://"):
+                        p = "http://" + p[len("https://") :]
+                    pending_prefixes.append(p)
+        # addSeed announce lands at round end (engine-parity law)
+        for p in pending_prefixes:
+            if p not in prefixes:
+                prefixes.append(p)
 
     return log, seen
 

@@ -137,3 +137,66 @@ def test_quota_kb_and_novel_parity(spark, tmp_path):
             quotas=quotas, force_retire=False,
         ),
     )
+
+
+def test_seed_redirect_promotion_parity(spark, tmp_path):
+    """seedsRedirectNewSeeds: seeds 301-redirect to brand-new hosts; the
+    targets become seeds (forceFetch, MEDIUM, scope extended by their
+    implied SURT prefix) and the crawl proceeds onto the new hosts.
+    CandidatesProcessor.java:186-194, 270-278 + SeedAcceptDecideRule."""
+    h, p = 2, 4
+    web = {u: s for u, s in FX.redirect_web_rows(h, p)}
+    seeds = FX.redirect_seed_lines(h)
+    ov = FX.redirect_status_overrides(h)
+    sim_log, sim_seen = simulate(
+        web,
+        seeds,
+        SimConfig(seed_accept=True),
+        status_overrides=ov,
+    )
+    ov_df = spark.createDataFrame(list(ov.items()), ["canonical", "status"])
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "redirseed"),
+        spark.createDataFrame(list(web.items()), FX.DOCUMENTS_SCHEMA),
+        CrawlConfig(
+            num_buckets=4, ordinal_partitions=1, bloom=False, metrics=False,
+            seed_accept=True,
+        ),
+        fetch_status_overrides=ov_df,
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=40)
+    assert _eng_rows(eng_log) == _sim_rows(sim_log)
+    # the crawl actually reached the redirect targets' hosts
+    assert any(l["canonical"].startswith("http://h0.example/") for l in sim_log)
+    assert any(l["canonical"].startswith("http://h1.example/p") for l in sim_log)
+    # promoted seeds are flagged in the journal F+ rows
+    promoted = (
+        eng.journal()
+        .filter("tag = 'F+' AND is_seed AND canonical LIKE 'http://h%'")
+        .count()
+    )
+    assert promoted == h
+    # engine seen set matches the simulator's exactly
+    assert {r.fp for r in eng.urlseen.seen(spark).collect()} == sim_seen
+
+
+def test_session_budget_cost_law_parity(spark, tmp_path):
+    """sessionBudget binding below k: emit while spend-this-activation <=
+    budget (WorkQueue.java:233-265). With unit cost and budget 2, each
+    queue emits 3 URIs per round (spend_before of the 3rd is 2 <= 2)."""
+    quotaless = dict(num_buckets=4, ordinal_partitions=1, bloom=False, metrics=False)
+    eng, sim_log = _run_pair(
+        spark,
+        tmp_path,
+        "sbudget",
+        (2, 6),
+        SimConfig(k_per_host=5, session_budget=2),
+        CrawlConfig(k_per_host=5, session_budget=2, **quotaless),
+    )
+    per_round_ck = {}
+    for l in sim_log:
+        per_round_ck.setdefault((l["round"], l["class_key"]), 0)
+        per_round_ck[(l["round"], l["class_key"])] += 1
+    assert max(per_round_ck.values()) == 3  # budget binds below k=5
