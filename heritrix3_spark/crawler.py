@@ -172,6 +172,12 @@ class CrawlConfig:
     # cost policy (frontier/UnitCost|AntiCalendar|WagCostAssignmentPolicy):
     # "unit" (default) | "anticalendar" | "wag"
     cost_policy: str = "unit"
+    # maxPerHostBandwidthUsageKbSec (DispositionProcessor.java:275-291,
+    # default 0 = off): after each fetch the host may not emit again before
+    # fetch_end + content_bytes/(cap*1.024) ms; the post-fetch snooze is
+    # raised to that floor. The carry into the next round rides in
+    # wake_time (= max(serial clock, last earliestNextURIEmitTime)).
+    max_per_host_bandwidth_kb: int = 0
     # sheet overlays (org.archive.spring.Sheet / SheetOverlaysManager,
     # commons/.../spring/Sheet.java:50, profile-crawler-beans.cxml:691):
     # per-SURT-prefix config overrides, applied to a queue when its
@@ -517,6 +523,54 @@ class CrawlEngine:
             )
         self.digest_t.append(new_digests)
         base.unpersist()
+
+    def _bandwidth_advance(self, fetched: DataFrame) -> DataFrame:
+        """(class_key, advance): the serial per-host clock with the
+        bandwidth floor (DispositionProcessor.java:275-291). The recurrence
+        (each wait = max(politeness, prev earliestNextEmit - now)) is not a
+        window sum, so it runs as applyInPandas over each host's <=k
+        emitted rows — bounded work per group."""
+        import pandas as pd  # noqa: PLC0415
+        from pyspark.sql.types import LongType as _L  # noqa: PLC0415
+        from pyspark.sql.types import StringType as _S  # noqa: PLC0415
+        from pyspark.sql.types import StructField as _F  # noqa: PLC0415
+        from pyspark.sql.types import StructType as _T  # noqa: PLC0415
+
+        rate = self.cfg.max_per_host_bandwidth_kb * 1.024  # bytes per ms
+        clock = self.clock
+        rows = fetched.select(
+            "class_key",
+            "sched_directive",
+            F.least(F.col("precedence"), F.lit(127)).alias("prec"),
+            "ordinal",
+            F.col("__no_fetch").alias("no_fetch"),
+            F.col("__retry").alias("is_retry"),
+            FR.retry_delay_col(F.col("fetch_status")).alias("rdelay"),
+            F.col("fetch_duration").alias("duration"),
+            F.col("__politeness").alias("politeness"),
+            self._content_size_col().alias("nbytes"),
+        )
+
+        def adv(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["sched_directive", "prec", "ordinal"])
+            t = clock
+            bw_next = clock
+            for r in pdf.itertuples():
+                if r.no_fetch:
+                    continue
+                if r.is_retry:
+                    t += int(r.rdelay)
+                    continue
+                c = t + int(r.duration)
+                wait = max(int(r.politeness), bw_next - c)
+                bw_next = c + int(int(r.nbytes) / rate)
+                t = c + wait
+            return pd.DataFrame(
+                {"class_key": [key[0]], "advance": [max(t, bw_next) - clock]}
+            )
+
+        schema = _T([_F("class_key", _S()), _F("advance", _L())])
+        return rows.groupBy("class_key").applyInPandas(adv, schema=schema)
 
     # ------------------------------------------------------------------
     # deterministic scalable ordinal assignment
@@ -1242,6 +1296,12 @@ class CrawlEngine:
             F.sum(F.when(F.col("disposition") == "fail", 1).otherwise(0)).alias("fail_n"),
             F.max(F.when(F.col("__quota_retire"), 1).otherwise(0)).alias("quota_retire"),
         )
+        if cfg.max_per_host_bandwidth_kb > 0:
+            # replace the additive advance with the serial bandwidth-floor
+            # recurrence (can't be a window sum — see _bandwidth_advance)
+            per_host = per_host.drop("advance").join(
+                self._bandwidth_advance(fetched), "class_key", "left"
+            )
         novel_per_host = novel_rows.groupBy("class_key").agg(F.count("*").alias("novel_n"))
         hosts_all = hosts.join(novel_per_host, "class_key", "full").select(
             "class_key",

@@ -203,9 +203,41 @@ def wag_cost_col(uri: Column, via: Column) -> Column:
     ).otherwise(F.lit(0))
 
 
+def zero_cost_col() -> Column:
+    """ZeroCostAssignmentPolicy.java: every URI costs 0."""
+    return F.lit(0)
+
+
 def cost_uri_precedence_col(cost: Column) -> Column:
     """CostUriPrecedencePolicy.java:36-39: uri precedence = holder cost."""
     return cost
+
+
+def base_uri_precedence_col(base_precedence: int = 1) -> Column:
+    """BaseUriPrecedencePolicy.java:40-52: constant basePrecedence."""
+    return F.lit(base_precedence)
+
+
+def preloaded_uri_precedence(
+    candidates: DataFrame,
+    history: DataFrame,
+    default_precedence: int = 1,
+    uri_col: str = "canonical",
+) -> DataFrame:
+    """PreloadedUriPrecedencePolicy (frontier/precedence/
+    PreloadedUriPrecedencePolicy.java): precedence preloaded from a prior
+    crawl's history table (canonical -> precedence); absent -> default.
+    The history side is a normal table join (prune/broadcast by AQE)."""
+    h = history.select(
+        F.col(uri_col).alias("__h_uri"), F.col("precedence").alias("__h_prec")
+    )
+    return (
+        candidates.join(h, candidates[uri_col] == F.col("__h_uri"), "left")
+        .withColumn(
+            "precedence", F.coalesce(F.col("__h_prec"), F.lit(default_precedence))
+        )
+        .drop("__h_uri", "__h_prec")
+    )
 
 
 def hops_uri_precedence_col(hops_path: Column, base_precedence: int = 1) -> Column:

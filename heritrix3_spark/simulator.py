@@ -79,6 +79,9 @@ class SimConfig:
     seed_accept: bool = False
     cost_policy: str = "unit"
     session_budget_cost_law: bool = True  # always on; kept for doc symmetry
+    # maxPerHostBandwidthUsageKbSec (DispositionProcessor.java:275-291);
+    # 0 = off. Law shared with CrawlConfig.max_per_host_bandwidth_kb.
+    max_per_host_bandwidth_kb: int = 0
 
 
 @dataclass
@@ -345,6 +348,7 @@ def simulate(
                 spend += u.cost
             q.pending = q.pending[len(take) :]
             t_host = T
+            bw_next = T  # earliestNextURIEmitTime carry (bandwidth cap)
             requeue = []
             for m, curi in enumerate(take):
                 scheme, server, path_q = _server_path(curi.canonical)
@@ -437,6 +441,21 @@ def simulate(
                         cd_ms = min(int(cd * 1000), cfg.respect_crawl_delay_up_to_ms)
                         if cd_ms > delay:
                             delay = cd_ms
+                if cfg.max_per_host_bandwidth_kb > 0:
+                    # bandwidth floor: wait at least until the previous
+                    # fetch's earliestNextURIEmitTime; this fetch sets the
+                    # next one from its content bytes
+                    c = t_host + duration
+                    delay = max(delay, bw_next - c)
+                    nbytes = (
+                        sum(
+                            len(t or "") + len(r or "")
+                            for k, t, r, o in web.get(curi.canonical, [])
+                        )
+                        if 200 <= status < 300
+                        else 0
+                    )
+                    bw_next = c + int(nbytes / (cfg.max_per_host_bandwidth_kb * 1.024))
                 t_host += duration + delay
                 q.total_expenditure += curi.cost
                 log.append(
@@ -504,7 +523,8 @@ def simulate(
                             )
                         )
             q.pending.extend(requeue)
-            q.wake_time = t_host
+            # the last fetch's bandwidth floor carries into the next round
+            q.wake_time = max(t_host, bw_next)
             budget = overlay(ck, "total_budget", cfg.total_budget)
             if budget >= 0 and q.total_expenditure >= budget:
                 q.retired = True  # isOverTotalBudget -> retireQueue

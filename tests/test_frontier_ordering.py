@@ -119,3 +119,26 @@ def test_politeness_delay_law(spark):
     assert got[(10_000, None)] == 30_000  # clamped to max
     assert got[(100, 9999.0)] == 300_000  # crawl-delay capped at respect limit
     assert got[(1_000, 10.0)] == 10_000  # raised to crawl-delay
+
+
+def test_trivial_cost_and_precedence_policies(spark):
+    """ZeroCost / BaseUriPrecedence / PreloadedUriPrecedence laws."""
+    from pyspark.sql import functions as F
+
+    from heritrix3_spark.operators import frontier as FR
+
+    df = spark.createDataFrame(
+        [("http://a.example/x",), ("http://b.example/y",)], ["canonical"]
+    )
+    rows = df.select(
+        FR.zero_cost_col().alias("z"), FR.base_uri_precedence_col(7).alias("b")
+    ).collect()
+    assert all(r.z == 0 and r.b == 7 for r in rows)
+    hist = spark.createDataFrame(
+        [("http://a.example/x", 9)], ["canonical", "precedence"]
+    )
+    got = {
+        r.canonical: r.precedence
+        for r in FR.preloaded_uri_precedence(df, hist, default_precedence=3).collect()
+    }
+    assert got == {"http://a.example/x": 9, "http://b.example/y": 3}

@@ -200,3 +200,38 @@ def test_session_budget_cost_law_parity(spark, tmp_path):
         per_round_ck.setdefault((l["round"], l["class_key"]), 0)
         per_round_ck[(l["round"], l["class_key"])] += 1
     assert max(per_round_ck.values()) == 3  # budget binds below k=5
+
+
+def test_bandwidth_cap_parity(spark, tmp_path):
+    """maxPerHostBandwidthUsageKbSec (DispositionProcessor.java:275-291):
+    big pages + 1 KB/s cap raise the inter-fetch gap far above the
+    politeness floor; serial clock + next-round carry match the simulator
+    exactly."""
+    web = {}
+    for i in range(2):
+        for j in range(3):
+            url = f"http://h{i}.example/p{j}"
+            web[url] = [
+                ("text", "x" * 20000, None, 0),
+                ("link", f"n{j}", f"/p{(j + 1) % 3}", 1),
+            ]
+    seeds = [f"http://h{i}.example/p0" for i in range(2)]
+    cap = 1  # KB/s -> ~19.5 s gap per 20 KB page, >> 3 s politeness
+    sim_log, _ = simulate(
+        web, seeds, SimConfig(k_per_host=2, max_per_host_bandwidth_kb=cap)
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "bw"),
+        spark.createDataFrame(list(web.items()), FX.DOCUMENTS_SCHEMA),
+        CrawlConfig(
+            num_buckets=4, ordinal_partitions=1, bloom=False, metrics=False,
+            k_per_host=2, max_per_host_bandwidth_kb=cap,
+        ),
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=20)
+    assert _eng_rows(eng_log) == _sim_rows(sim_log)
+    # the cap actually raised the host clock: wake gaps ~19.5s not ~3.1s
+    wakes = {r.class_key: r.wake_time for r in eng.host_t.read(spark).collect()}
+    assert all(w > 15_000 for w in wakes.values())
