@@ -42,6 +42,9 @@ def _cap_band_buckets(bands: DataFrame, keys: list[str], max_bucket: int | None,
     The oversized-keys frame is tiny (only degenerate keys), so the
     anti-join broadcasts; the count() that produces the log line runs on
     the persisted bands frame, not a recompute of the signature UDF.
+    The big-keys list is collected (bounded: only degenerate keys) so both
+    persisted frames can be unpersisted HERE on every path — a long-lived
+    pipeline session must not accumulate cached band frames.
     """
     if not max_bucket:
         return bands
@@ -50,19 +53,23 @@ def _cap_band_buckets(bands: DataFrame, keys: list[str], max_bucket: int | None,
         bands.groupBy(*keys)
         .agg(F.count("*").alias("__bucket_n"))
         .filter(F.col("__bucket_n") > max_bucket)
-        .persist()
     )
-    n_big = big.count()
-    if n_big:
+    big_rows = big.select(*keys).collect()
+    if big_rows:
         logger.warning(
             "%s: dropping %d band bucket(s) larger than %d members (skew guard)",
             label,
-            n_big,
+            len(big_rows),
             max_bucket,
         )
-        return bands.join(F.broadcast(big.select(*keys)), keys, "left_anti")
-    big.unpersist()
-    return bands
+        spark = bands.sparkSession
+        big_keys = spark.createDataFrame(big_rows, bands.select(*keys).schema)
+        out = bands.join(F.broadcast(big_keys), keys, "left_anti").localCheckpoint()
+        bands.unpersist()
+        return out
+    out = bands.localCheckpoint()
+    bands.unpersist()
+    return out
 
 # deterministic MinHash parameters
 _MERSENNE = (1 << 61) - 1

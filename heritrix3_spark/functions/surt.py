@@ -203,6 +203,83 @@ def assignment_level_class_key_col(uri: Column) -> Column:
     return F.when(n >= 2, surt_form).otherwise(F.lit(DEFAULT_CLASS_KEY))
 
 
+# ---------------------------------------------------------------------------
+# IP model (CrawlHost analog) + IP-based queue assignment
+# ---------------------------------------------------------------------------
+def java_string_hashcode(s: str) -> int:
+    """Scalar Java String.hashCode (31·h + c, int32 wrap) — the pyref twin
+    of :func:`java_string_hash_col` for simulator/oracle use."""
+    h = 0
+    for c in s:
+        h = (31 * h + ord(c)) & 0xFFFFFFFF
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def synthetic_ip(host: str) -> str:
+    """Deterministic synthetic IPv4 for a hostname — the sandbox's DNS
+    resolution model (FetchDNS real lookups are out of scope; CrawlHost.setIP
+    modules/.../net/CrawlHost.java:95-108 only needs *an* address). The
+    10.x.y.z mapping is stable across rounds/restarts so IP-keyed queues
+    stay stable (relocation-free), mirroring a well-behaved resolver."""
+    u = java_string_hashcode(host) & 0xFFFFFFFF
+    return f"10.{(u >> 16) & 255}.{(u >> 8) & 255}.{u & 255}"
+
+
+def synthetic_ip_col(host: Column) -> Column:
+    """Column twin of :func:`synthetic_ip`."""
+    u = F.pmod(java_string_hash_col(host), F.lit(1 << 32))
+    return F.concat(
+        F.lit("10."),
+        F.shiftrightunsigned(u, 16).bitwiseAND(F.lit(255)).cast("string"),
+        F.lit("."),
+        F.shiftrightunsigned(u, 8).bitwiseAND(F.lit(255)).cast("string"),
+        F.lit("."),
+        u.bitwiseAND(F.lit(255)).cast("string"),
+    )
+
+
+def _ipv4_hashcode_col(ip: Column) -> Column:
+    """Java Inet4Address.hashCode = the address bytes as a signed int32."""
+    parts = F.split(ip, r"\.")
+    raw = (
+        F.element_at(parts, 1).cast("long") * F.lit(1 << 24)
+        + F.element_at(parts, 2).cast("long") * F.lit(1 << 16)
+        + F.element_at(parts, 3).cast("long") * F.lit(1 << 8)
+        + F.element_at(parts, 4).cast("long")
+    )
+    return F.when(raw >= (1 << 31), raw - (1 << 32)).otherwise(raw)
+
+
+def ip_class_key_col(uri: Column, ip: Column) -> Column:
+    """IPQueueAssignmentPolicy (engine/.../frontier/
+    IPQueueAssignmentPolicy.java:45-53): the dotted-decimal IP when the
+    host has one resolved, else the HostnameQueueAssignmentPolicy key.
+    ``ip`` is the dns-table column (null when not yet resolved)."""
+    return F.when(ip.isNotNull() & (F.length(ip) > 0), ip).otherwise(
+        hostname_class_key_col(uri)
+    )
+
+
+def bucket_ip_class_key_col(uri: Column, ip: Column) -> Column:
+    """BucketQueueAssignmentPolicy.java:43-63, ALL THREE branches:
+    no host -> 'NO-HOST'; host without IP ->
+    'NO-IP-' + (abs(hash(hostname)) & 1023); resolved ->
+    abs(InetAddress.hashCode) % 1021 (hashCode = the IPv4 as int32)."""
+    host = F.lower(
+        F.regexp_extract(uri, r"^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:]*)", 1)
+    )
+    no_ip = F.concat(
+        F.lit("NO-IP-"),
+        F.abs(java_string_hash_col(host)).bitwiseAND(F.lit(1023)).cast("string"),
+    )
+    with_ip = F.pmod(F.abs(_ipv4_hashcode_col(ip)), F.lit(1021)).cast("string")
+    return (
+        F.when(F.length(host) == 0, F.lit("NO-HOST"))
+        .when(ip.isNotNull() & (F.length(ip) > 0), with_ip)
+        .otherwise(no_ip)
+    )
+
+
 def salted_partition_col(class_key: Column, num_salts: int) -> Column:
     """Salt sub-key for shuffle-partitioning hot hosts.
 

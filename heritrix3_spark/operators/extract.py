@@ -513,6 +513,253 @@ def extract_http_headers(
     return loc.unionByName(cloc)
 
 
+# ---------------------------------------------------------------------------
+# text-extractor tail (round-3): ExtractorXML / ExtractorURI /
+# ExtractorImpliedURI / ExtractorMultipleRegex / TrapSuppressExtractor
+# ---------------------------------------------------------------------------
+# ExtractorXML.java:58-59: URI-shaped strings between quote/bracket
+# delimiters, optionally CDATA-wrapped; candidates are XML-unescaped then
+# run through isVeryLikelyUri; hop SPECULATIVE ('X').
+_RE_XML_URI = re.compile(r"(?s)[\"'>]\s*(?:<!\[CDATA\[)?([^<>\s'\"@]+)\s*(?:\]\]>)?[\"'<]")
+#: ExtractorXML.shouldExtract content sniff (:81-88): XML preamble and not
+#: an early html doctype/tag
+_RE_XML_PREAMBLE = re.compile(r"(?is)^﻿?<\?xml\s")
+_RE_XML_HTMLISH = re.compile(r"(?is)<!doctype\s+html|<html[>\s]")
+
+_XML_UNESCAPES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"))
+
+
+def _unescape_xml(s: str) -> str:
+    # StringEscapeUtils.unescapeXml: the five XML entities (&amp; last)
+    for ent, ch in _XML_UNESCAPES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def _extract_xml_one(body: str) -> list[tuple]:
+    """ExtractorXML.processXml (ExtractorXML.java:150-173): regex scan,
+    XML-unescape, isVeryLikelyUri filter -> speculative 'X' outlinks."""
+    if not body:
+        return []
+    out = []
+    for m in _RE_XML_URI.finditer(body):
+        cand = _unescape_xml(m.group(1))
+        if _is_very_likely_uri(cand):
+            out.append((cand, "xml", "X"))
+            if len(out) >= MAX_OUTLINKS:
+                break
+    return out
+
+
+def looks_like_xml(body: str, content_type: str | None = None, uri: str | None = None) -> bool:
+    """ExtractorXML.shouldExtract (:70-92): xml mimetype (excluding OOXML
+    zips), .rss/.xml extension, or an XML preamble without early html."""
+    if content_type:
+        ctl = content_type.lower()
+        if "xml" in ctl and not ctl.startswith("application/vnd.openxmlformats"):
+            return True
+    if uri and (uri.lower().endswith(".rss") or uri.lower().endswith(".xml")):
+        return True
+    head = (body or "")[:400]
+    return bool(_RE_XML_PREAMBLE.match(head)) and not _RE_XML_HTMLISH.search(head)
+
+
+@pandas_udf(ArrayType(OUTLINK_TYPE))
+def extract_xml_udf(body: pd.Series) -> pd.Series:
+    return pd.Series([_extract_xml_one(b) for b in body.fillna("")])
+
+
+# ExtractorURI.java:57,139-163: absolute http(s) URIs inside an already-
+# discovered outlink's query string — the whole decoded query, then each
+# &-split param's %-decoded value. Speculative 'X' hops.
+_RE_ABS_HTTP = re.compile(r"^https?://[^\s<>]*$")
+
+
+def _extract_uri_one(uri: str) -> list[tuple]:
+    if not uri:
+        return []
+    from urllib.parse import unquote_plus
+
+    q = uri.partition("?")[2]
+    if not q:
+        return []
+    out = []
+    decoded_q = unquote_plus(q)
+    if _RE_ABS_HTTP.match(decoded_q):
+        out.append((decoded_q, "uri/query", "X"))
+    for param in q.split("&"):
+        kv = param.split("=")
+        if len(kv) == 2:
+            cand = unquote_plus(kv[1])
+            if _RE_ABS_HTTP.match(cand):
+                out.append((cand, "uri/param", "X"))
+    return out[:MAX_OUTLINKS]
+
+
+@pandas_udf(ArrayType(OUTLINK_TYPE))
+def extract_uri_udf(uri: pd.Series) -> pd.Series:
+    return pd.Series([_extract_uri_one(u) for u in uri.fillna("")])
+
+
+def extract_uri_outlinks(outlinks: DataFrame, url_col: str = "url") -> DataFrame:
+    """ExtractorURI over a frame of discovered outlinks: one 'X' row per
+    query-string URI found inside each outlink's URL."""
+    return outlinks.select(
+        "doc_id",
+        F.posexplode(extract_uri_udf(F.col(url_col))).alias("pos", "l"),
+    ).select(
+        "doc_id",
+        F.col("l.url").alias("url"),
+        F.col("l.context").alias("context"),
+        F.col("l.hop").alias("hop"),
+        F.col("pos").alias("outlink_index"),
+    )
+
+
+def implied_uri_col(url: Column, trigger_regex: str, build_format: str) -> Column:
+    """ExtractorImpliedURI.extractImplied (ExtractorImpliedURI.java:168-178):
+    when the URL fully matches ``trigger_regex``, the implied URI is the
+    regex's replaceFirst with ``build_format`` ($1-style groups); else NULL.
+    Pure column algebra — JVM regexp, no Python."""
+    anchored = f"^(?:{trigger_regex})$"
+    return F.when(
+        url.rlike(anchored), F.regexp_replace(url, anchored, build_format)
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def extract_implied_uris(
+    outlinks: DataFrame,
+    trigger_regex: str,
+    build_format: str,
+    remove_trigger_uris: bool = False,
+    url_col: str = "url",
+) -> DataFrame:
+    """ExtractorImpliedURI (ExtractorImpliedURI.java:52,123-165): each
+    discovered outlink matching the trigger yields an INFERRED 'I' link
+    built from the replacement format; ``remove_trigger_uris`` drops the
+    trigger rows themselves from the outlink set."""
+    implied = implied_uri_col(F.col(url_col), trigger_regex, build_format)
+    inferred = (
+        outlinks.withColumn("__implied", implied)
+        .filter(F.col("__implied").isNotNull())
+        .select(
+            "doc_id",
+            F.col("__implied").alias("url"),
+            F.lit("inferred").alias("context"),
+            F.lit("I").alias("hop"),
+            "outlink_index",
+        )
+    )
+    base = outlinks
+    if remove_trigger_uris:
+        base = outlinks.filter(implied.isNull())
+    return base.select("doc_id", "url", "context", "hop", "outlink_index").unionByName(
+        inferred
+    )
+
+
+def _interp_template(template: str, bindings: dict[str, list[str]]) -> str:
+    """${name[n]} interpolation — the subset of Groovy templating the
+    reference's documented examples use (ExtractorMultipleRegex.java:75-78;
+    full Groovy evaluation is out of scope by design)."""
+
+    def repl(m: re.Match) -> str:
+        name, idx = m.group(1), int(m.group(2))
+        groups = bindings.get(name)
+        if groups is None or idx >= len(groups):
+            return ""
+        return groups[idx] or ""
+
+    return re.sub(r"\$\{(\w+)\[(\d+)\]\}", repl, template)
+
+
+def _extract_multiple_regex_one(
+    uri: str, body: str, uri_regex: str, content_regexes: list[tuple[str, str]], template: str
+) -> list[tuple]:
+    """ExtractorMultipleRegex.extract (ExtractorMultipleRegex.java:212-268):
+    URI must fully match uriRegex; every content regex must match at least
+    once; one INFERRED outlink per combination of matches, combination i
+    decoded base-mixed-radix (matchIndex = tmp % size; tmp /= size) in
+    regex order, groups bound as ${name[n]} (n=0 is the whole match)."""
+    m = re.fullmatch(uri_regex, uri or "")
+    if not m:
+        return []
+    match_lists: list[tuple[str, list[list[str]]]] = [
+        ("uriRegex", [[m.group(0), *m.groups("")] if m.groups() else [m.group(0)]])
+    ]
+    for name, regex in content_regexes:
+        matches = [
+            [mm.group(0), *[g if g is not None else "" for g in mm.groups()]]
+            for mm in re.finditer(regex, body or "")
+        ]
+        if not matches:
+            return []
+        match_lists.append((name, matches))
+    n_out = 1
+    for _, lst in match_lists:
+        n_out *= len(lst)
+    out = []
+    for i in range(min(n_out, MAX_OUTLINKS)):
+        tmp = i
+        bindings = {}
+        for name, lst in match_lists:
+            bindings[name] = lst[tmp % len(lst)]
+            tmp //= len(lst)
+        out.append((_interp_template(template, bindings), "inferred", "I"))
+    return out
+
+
+def extract_multiple_regex(
+    documents: DataFrame,
+    uri_regex: str,
+    content_regexes: dict[str, str],
+    template: str,
+    uri_col: str = "doc_id",
+    body_col: str = "text",
+) -> DataFrame:
+    """ExtractorMultipleRegex as an Arrow-batched scanner over documents."""
+    regex_items = list(content_regexes.items())
+
+    @pandas_udf(ArrayType(OUTLINK_TYPE))
+    def mr_udf(uri: pd.Series, body: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _extract_multiple_regex_one(u, b, uri_regex, regex_items, template)
+                for u, b in zip(uri.fillna(""), body.fillna(""))
+            ]
+        )
+
+    return documents.select(
+        F.col(uri_col).alias("doc_id"),
+        F.posexplode(mr_udf(F.col(uri_col), F.col(body_col))).alias("pos", "l"),
+    ).select(
+        "doc_id",
+        F.col("l.url").alias("url"),
+        F.col("l.context").alias("context"),
+        F.col("l.hop").alias("hop"),
+        F.col("pos").alias("outlink_index"),
+    )
+
+
+def trap_suppress_mask(pages: DataFrame, parent_digests: DataFrame) -> DataFrame:
+    """TrapSuppressExtractor (TrapSuppressExtractor.java:50-73): a page
+    whose content digest equals its via's digest is a suspected crawler
+    trap — extraction is suppressed (`trapSuppressExtractor` annotation).
+
+    ``pages``: (page, via, __digest, ...); ``parent_digests``:
+    (doc_id, content_digest) — pass a VIA-pruned slice, never the full
+    archive table. Returns pages + boolean ``__trap_suppressed``."""
+    pd_ = parent_digests.select(
+        F.col("doc_id").alias("__via_doc"), F.col("content_digest").alias("__via_digest")
+    )
+    joined = pages.join(pd_, pages["via"] == F.col("__via_doc"), "left")
+    return joined.withColumn(
+        "__trap_suppressed",
+        F.col("__via_digest").isNotNull()
+        & (F.col("__digest") == F.col("__via_digest")),
+    ).drop("__via_doc", "__via_digest")
+
+
 @pandas_udf(ArrayType(OUTLINK_TYPE))
 def extract_html_udf(base: pd.Series, html: pd.Series) -> pd.Series:
     """Vectorized HTML outlink extraction (regexes compiled once/worker)."""

@@ -90,6 +90,40 @@ def digest_history(documents_out: DataFrame) -> DataFrame:
     )
 
 
+def mimetypes_report(
+    log: DataFrame,
+    content_type: str = "content_type",
+    content_length: str = "content_length",
+) -> DataFrame:
+    """MimetypesReport: '[#urls] [#bytes] [mime-types]' rows, most-fetched
+    type first (engine/.../reporting/MimetypesReport.java:38-50 — the
+    report walks StatisticsTracker.getFileDistribution reverse-sorted by
+    count and joins in getBytesPerFileType)."""
+    return (
+        log.groupBy(F.col(content_type).alias("mime_type"))
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.coalesce(F.sum(content_length), F.lit(0)).alias("n_bytes"),
+        )
+        .orderBy(F.desc("n_urls"), F.asc("mime_type"))
+    )
+
+
+def source_tags_report(
+    log: DataFrame, source_tag: str = "source_tag", host: str = "host"
+) -> DataFrame:
+    """SourceTagsReport: '[source] [host] [#urls]' per (sourceTag, host),
+    hosts reverse-sorted by count within each source
+    (engine/.../reporting/SourceTagsReport.java:40-67;
+    StatisticsTracker.sourceHostDistribution tally at saveSourceStats)."""
+    return (
+        log.filter(F.col(source_tag).isNotNull())
+        .groupBy(F.col(source_tag).alias("source"), F.col(host).alias("host"))
+        .agg(F.count("*").alias("n_urls"))
+        .orderBy(F.asc("source"), F.desc("n_urls"), F.asc("host"))
+    )
+
+
 def crawled_bytes_histotable(documents_out: DataFrame) -> DataFrame:
     """novel vs dupByHash fetch accounting (CrawledBytesHistotable law):
     the first fetch of a digest is 'novel', later identical payloads are

@@ -61,6 +61,11 @@ class SimConfig:
     preference_embed_hops: int = 1
     robots: str = "ignore"  # or "obey" (PreconditionEnforcer semantics)
     dns: str = "ignore"  # or "obey" (dns:host prerequisites)
+    # DNS/robots expiry laws shared with CrawlConfig (PreconditionEnforcer
+    # isIpExpired / CrawlServer.isRobotsExpired): 0 = never expire; a stale
+    # entry re-defers triggers and re-injects a FORCED prerequisite
+    ip_validity_duration_s: int = 0
+    robots_validity_duration_s: int = 0
     user_agent: str = "heritrix3-spark"
     max_retries: int = 30
     # sheet overlays: ({"surt_prefix", "total_budget"?, "k_per_host"?}, ...)
@@ -249,11 +254,12 @@ def simulate(
     for u in seed_uris:
         schedule(u, "", None, True, MEDIUM)
 
-    # robots state: server -> parsed Robotstxt (PreconditionEnforcer analog)
+    # robots state: server -> (parsed Robotstxt, fetched_at clock);
+    # dns state: host -> resolved_at clock (PreconditionEnforcer analog)
     from heritrix3_spark.operators.robots import Robotstxt
 
-    robots_state: dict[str, Robotstxt] = {}
-    dns_state: set[str] = set()
+    robots_state: dict[str, tuple[Robotstxt, int]] = {}
+    dns_state: dict[str, int] = {}
 
     # QuotaEnforcer FetchStats substats: (cat, key) -> metric dict
     quotas = dict(cfg.quotas)
@@ -356,13 +362,29 @@ def simulate(
                 is_robots = path_q == "/robots.txt"
                 forced = None
                 reason = None
+                prereq_force = False
+
+                def _fresh(at: int, dur_s: int) -> bool:
+                    # expired when fetched_at + dur*1000 < round-start clock
+                    return dur_s == 0 or at + dur_s * 1000 >= T
+
                 if server is not None and not is_dns:
-                    if cfg.dns == "obey" and server not in dns_state:
+                    dns_known = cfg.dns != "obey" or (
+                        server in dns_state
+                        and _fresh(dns_state[server], cfg.ip_validity_duration_s)
+                    )
+                    if not dns_known:
                         forced, reason = -50, "dns"
+                        prereq_force = server in dns_state  # stale, not new
                     elif cfg.robots == "obey" and not is_robots:
-                        if server not in robots_state:
+                        rb = robots_state.get(server)
+                        rb_known = rb is not None and _fresh(
+                            rb[1], cfg.robots_validity_duration_s
+                        )
+                        if not rb_known:
                             forced, reason = -50, "robots"
-                        elif not robots_state[server].allows(cfg.user_agent, path_q):
+                            prereq_force = rb is not None  # stale, not new
+                        elif not rb[0].allows(cfg.user_agent, path_q):
                             forced = -9998  # S_ROBOTS_PRECLUDED
                 if forced == -50:
                     attempts = curi.fetch_attempts + 1
@@ -386,6 +408,7 @@ def simulate(
                                 curi.canonical,
                                 HIGHEST,
                                 False,
+                                prereq_force,
                             )
                         )
                     else:
@@ -435,8 +458,12 @@ def simulate(
                 delay = int(cfg.delay_factor * duration)
                 delay = max(delay, cfg.min_delay_ms)
                 delay = min(delay, cfg.max_delay_ms)
-                if cfg.robots == "obey" and server in robots_state:
-                    cd = robots_state[server].crawl_delay(cfg.user_agent)
+                if (
+                    cfg.robots == "obey"
+                    and server in robots_state
+                    and _fresh(robots_state[server][1], cfg.robots_validity_duration_s)
+                ):
+                    cd = robots_state[server][0].crawl_delay(cfg.user_agent)
                     if delay < cfg.respect_crawl_delay_up_to_ms:
                         cd_ms = min(int(cd * 1000), cfg.respect_crawl_delay_up_to_ms)
                         if cd_ms > delay:
@@ -484,7 +511,7 @@ def simulate(
                         (curi.ordinal, server, ck, status, content, size)
                     )
                 if is_dns and server is not None:
-                    dns_state.add(server)
+                    dns_state[server] = T  # resolved at round-start clock
                 if cfg.robots == "obey" and is_robots and server is not None:
                     if 200 <= status < 300:
                         body = "\n".join(
@@ -492,7 +519,7 @@ def simulate(
                         )
                     else:
                         body = ""  # NO_ROBOTS: allow all
-                    robots_state[server] = Robotstxt(body)
+                    robots_state[server] = (Robotstxt(body), T)
                 # futureUris: successful non-prerequisite fetches re-visit
                 # at round_start + interval (prereq detection only exists
                 # when the precondition gate runs — engine parity)
@@ -519,7 +546,7 @@ def simulate(
                             (
                                 curi.ordinal, offset, url,
                                 curi.hops_path + hop, curi.uri, NORMAL,
-                                curi.is_seed,
+                                curi.is_seed, False,
                             )
                         )
             q.pending.extend(requeue)
@@ -564,7 +591,11 @@ def simulate(
         # candidate processing in discovery order (prereqs sort first: -1)
         candidates.sort(key=lambda c: (c[0], c[1]))
         pending_prefixes: list[str] = []
-        for parent_ord, idx, url, hops, via, cur_directive, parent_is_seed in candidates:
+        forced_prereqs_round: set[str] = set()
+        for (
+            parent_ord, idx, url, hops, via, cur_directive, parent_is_seed,
+            force_hint,
+        ) in candidates:
             # seedsRedirectNewSeeds pre-scope mark (CandidatesProcessor law)
             promoted = (
                 cfg.seeds_redirect_new_seeds
@@ -589,7 +620,13 @@ def simulate(
                 and canonical == canonicalize(via)
                 and url != via
             )
-            force = (promoted and via is not None) or collision
+            force = (promoted and via is not None) or collision or force_hint
+            if force_hint:
+                # expiry-forced prerequisite: first discovery this round
+                # wins (serial one-refetch-per-validity-window analog)
+                if canonical in forced_prereqs_round:
+                    continue
+                forced_prereqs_round.add(canonical)
             scheduled = schedule(url, hops, via, promoted, directive, force=force)
             if scheduled and promoted:
                 s = surt(canonical)

@@ -159,6 +159,156 @@ class SnapshotTable:
                 shutil.rmtree(p, ignore_errors=True)
 
 
+class MergeOnReadTable:
+    """Iceberg-v2-style merge-on-read keyed table over two SnapshotTables.
+
+    The round-2 verdict's #1 remaining scale cost was the copy-on-write
+    O(table) rewrite of frontier/dns/robots every round even though the
+    per-round change set is bounded. This is the storage-layer fix the
+    north rule's Iceberg tables would give us (MERGE INTO with equality
+    deletes): writes are O(delta), the merge happens at read.
+
+    Physical layout:
+
+    * ``base``  — overwrite snapshots plus an append chain of **inserts**
+      (rows whose key is guaranteed new, e.g. freshly-assigned ordinals);
+      an insert needs no merge so it rides the cheap append path.
+    * ``delta`` — append chain of **upsert/tombstone** rows: full row
+      schema + ``__seq`` (monotone commit stamp) + ``__tomb`` (boolean).
+      At most one delta row per key per seq (callers split multi-phase
+      rounds into distinct seqs).
+
+    Read law (the merge): latest-by-``__seq`` delta row per key wins
+    (ties: tombstone wins); base∪insert rows survive only when their key
+    has no delta row. The delta key set is bounded (emitted × rounds
+    since compaction), so the anti-join broadcasts under AQE — no
+    O(table) shuffle; the O(table) *scan* was already paid by any reader.
+
+    ``compact()`` folds deltas+inserts into a fresh base snapshot
+    (Iceberg rewrite_data_files analog); amortized O(table)/N rounds.
+    """
+
+    def __init__(self, catalog: "SnapshotCatalog", name: str, key: str):
+        self.name = name
+        self.key = key
+        self.base = catalog.table(name)
+        self.delta = catalog.table(f"{name}__delta")
+
+    def exists(self) -> bool:
+        return self.base.exists()
+
+    def latest_version(self) -> int:
+        return self.base.latest_version()
+
+    # -- writes (all O(delta)) ------------------------------------------
+    def overwrite(self, df: DataFrame) -> SnapshotInfo:
+        info = self.base.overwrite(df)
+        self._reset_delta(df.sparkSession)
+        return info
+
+    def insert(self, df: DataFrame) -> SnapshotInfo:
+        """Append rows whose key is guaranteed absent from base AND delta
+        (e.g. globally-unique fresh ordinals). No merge cost at read."""
+        return self.base.append(df)
+
+    def upsert(self, df: DataFrame, seq: int) -> SnapshotInfo:
+        from pyspark.sql import functions as F
+
+        return self.delta.append(
+            df.withColumn("__seq", F.lit(int(seq)).cast("long")).withColumn(
+                "__tomb", F.lit(False)
+            )
+        )
+
+    def delete_keys(self, keys: DataFrame, seq: int, template: DataFrame) -> SnapshotInfo:
+        """Tombstone ``keys`` (a 1-column DataFrame of ``self.key``).
+        ``template`` supplies the full row schema (non-key columns null)."""
+        from pyspark.sql import functions as F
+
+        return self.delta.append(
+            self._tomb_rows(keys, template).withColumn(
+                "__seq", F.lit(int(seq)).cast("long")
+            )
+        )
+
+    def commit_delta(
+        self, upserts: DataFrame, delete_keys: DataFrame, seq: int
+    ) -> SnapshotInfo:
+        """Upserts + tombstones in ONE delta append (one write job — round
+        fixed cost matters as much as data volume at small batch sizes)."""
+        from pyspark.sql import functions as F
+
+        rows = upserts.withColumn("__tomb", F.lit(False)).unionByName(
+            self._tomb_rows(delete_keys, upserts)
+        )
+        return self.delta.append(
+            rows.withColumn("__seq", F.lit(int(seq)).cast("long"))
+        )
+
+    def _tomb_rows(self, keys: DataFrame, template: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        cols = [
+            F.col(self.key) if f.name == self.key
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in template.schema.fields
+            if f.name not in ("__seq", "__tomb")
+        ]
+        return keys.select(*cols).withColumn("__tomb", F.lit(True))
+
+    # -- read (the merge) -----------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        base = self.base.read(spark)
+        if not self.delta.exists():
+            return base
+        delta = self.delta.read(spark)
+        w = Window.partitionBy(self.key).orderBy(
+            F.col("__seq").desc(), F.col("__tomb").desc()
+        )
+        latest = (
+            delta.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        live = latest.filter(~F.col("__tomb")).drop("__seq", "__tomb")
+        keys = delta.select(self.key).distinct()
+        return base.join(keys, self.key, "left_anti").unionByName(live)
+
+    # -- maintenance ------------------------------------------------------
+    def chain_length(self) -> int:
+        return len(self.base._parents(self.base.latest_version())) + len(
+            self.delta._parents(self.delta.latest_version())
+        )
+
+    def compact(
+        self, spark: SparkSession, repartition_by: str | None = None, num_parts: int = 0
+    ) -> None:
+        df = self.read(spark)
+        if repartition_by and num_parts:
+            df = df.repartition(num_parts, repartition_by)
+        self.base.overwrite(df)
+        self._reset_delta(spark)
+
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        every: int = 32,
+        repartition_by: str | None = None,
+        num_parts: int = 0,
+    ) -> bool:
+        if self.chain_length() >= every:
+            self.compact(spark, repartition_by, num_parts)
+            return True
+        return False
+
+    def _reset_delta(self, spark: SparkSession) -> None:
+        if self.delta.exists():
+            self.delta.overwrite(self.delta.read(spark).limit(0))
+
+
 class SnapshotCatalog:
     """A directory of snapshot tables + a catalog-level checkpoint marker."""
 

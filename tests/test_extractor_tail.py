@@ -1,0 +1,184 @@
+"""Text-extractor tail: ExtractorXML / ExtractorURI / ExtractorImpliedURI /
+ExtractorMultipleRegex / TrapSuppressExtractor.
+
+Golden vectors: ExtractorXMLTest.VALID_TEST_DATA is ported verbatim; the
+URI/Implied reference tests are empty (`// TODO TESTME!`), so their cases
+are derived from the documented laws (ExtractorURI.java:139-163,
+ExtractorImpliedURI.java:168-178); MultipleRegex's combination law
+(ExtractorMultipleRegex.java:231-268) is exercised synthetically (the
+reference test's fixture is a 400KB real-world page)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from heritrix3_spark.operators import extract as EX
+
+
+# -- ExtractorXML ---------------------------------------------------------
+# ExtractorXMLTest.VALID_TEST_DATA (modules/src/test/.../ExtractorXMLTest.java:39-46)
+XML_GOLDEN = [
+    ("<link>http://conservation.org</link>", ["http://conservation.org"]),
+    (
+        "<CI:imagePath><![CDATA[http://sp10.conservation.org/CIFMGPhotos/"
+        "790x444_skerry_gallery_02.jpg]]></CI:imagePath>",
+        [
+            "http://sp10.conservation.org/CIFMGPhotos/"
+            "790x444_skerry_gallery_02.jpg"
+        ],
+    ),
+    # entity-escaped URI is unescaped before the likely-URI check
+    (
+        '<url href="http://x.example/a?b=1&amp;c=2"/>',
+        ["http://x.example/a?b=1&c=2"],
+    ),
+    # non-URI-shaped strings (mimetypes, decimals, emails) are filtered
+    ('<t a="text/xml"/><v>1.25</v><m>"x@y.com"</m>', []),
+]
+
+
+@pytest.mark.parametrize("body,expected", XML_GOLDEN)
+def test_extract_xml_golden(body, expected):
+    assert [u for u, _, _ in EX._extract_xml_one(body)] == expected
+
+
+def test_extract_xml_hop_is_speculative():
+    out = EX._extract_xml_one("<link>http://conservation.org</link>")
+    assert out == [("http://conservation.org", "xml", "X")]
+
+
+def test_looks_like_xml_sniff():
+    assert EX.looks_like_xml("", content_type="application/rss+xml")
+    assert not EX.looks_like_xml("", content_type="application/vnd.openxmlformats-officedocument.wordprocessingml.document")
+    assert EX.looks_like_xml("", uri="http://x/feed.rss")
+    assert EX.looks_like_xml('<?xml version="1.0"?><a/>')
+    assert not EX.looks_like_xml('<?xml version="1.0"?><!DOCTYPE html><html>')
+    assert not EX.looks_like_xml("plain text")
+
+
+# -- ExtractorURI ---------------------------------------------------------
+def test_extract_uri_query_whole_and_params():
+    # whole decoded query is an http URI
+    out = EX._extract_uri_one("http://a.example/r?http://b.example/x")
+    assert ("http://b.example/x", "uri/query", "X") in out
+    # param values are %-decoded then checked
+    out = EX._extract_uri_one(
+        "http://a.example/r?u=http%3A%2F%2Fc.example%2Fy&v=plain"
+    )
+    assert [u for u, _, _ in out] == ["http://c.example/y"]
+    # no query -> nothing
+    assert EX._extract_uri_one("http://a.example/r") == []
+
+
+# -- ExtractorImpliedURI --------------------------------------------------
+def test_implied_uri_column(spark):
+    df = spark.createDataFrame(
+        [("http://example.com/page/video123.swf",), ("http://example.com/other",)],
+        ["url"],
+    )
+    col = EX.implied_uri_col(
+        F.col("url"), r"http://example\.com/page/video(\d+)\.swf",
+        r"http://example.com/video/$1.html",
+    )
+    got = [r[0] for r in df.select(col).collect()]
+    assert got == ["http://example.com/video/123.html", None]
+
+
+def test_extract_implied_uris_remove_trigger(spark):
+    ol = spark.createDataFrame(
+        [
+            ("d", "http://example.com/page/video9.swf", "a/@href", "L", 0),
+            ("d", "http://example.com/keep", "a/@href", "L", 1),
+        ],
+        ["doc_id", "url", "context", "hop", "outlink_index"],
+    )
+    out = EX.extract_implied_uris(
+        ol,
+        r"http://example\.com/page/video(\d+)\.swf",
+        r"http://example.com/video/$1.html",
+        remove_trigger_uris=True,
+    )
+    rows = {(r.url, r.hop) for r in out.collect()}
+    assert rows == {
+        ("http://example.com/keep", "L"),
+        ("http://example.com/video/9.html", "I"),
+    }
+
+
+# -- ExtractorMultipleRegex ----------------------------------------------
+def test_multiple_regex_combinations():
+    # 1 uri match x 2 content-a matches x 2 content-b matches = 4 outlinks,
+    # combination order: index i -> a[i%2], b[i//2] (base-mixed-radix law)
+    out = EX._extract_multiple_regex_one(
+        "http://s.example/show?id=77",
+        "A=x A=y B=1 B=2",
+        r"http://s\.example/show\?id=(\d+)",
+        [("a", r"A=(\w)"), ("b", r"B=(\d)")],
+        "http://t.example/${uriRegex[1]}/${a[1]}/${b[1]}",
+    )
+    assert [u for u, _, _ in out] == [
+        "http://t.example/77/x/1",
+        "http://t.example/77/y/1",
+        "http://t.example/77/x/2",
+        "http://t.example/77/y/2",
+    ]
+    # uri not matching -> nothing
+    assert (
+        EX._extract_multiple_regex_one(
+            "http://other/", "A=x", r"http://s\.example/.*", [("a", "A=(\\w)")], "t"
+        )
+        == []
+    )
+    # a content regex with zero matches -> nothing
+    assert (
+        EX._extract_multiple_regex_one(
+            "http://s.example/",
+            "nothing here",
+            r"http://s\.example/",
+            [("a", r"A=(\w)")],
+            "t",
+        )
+        == []
+    )
+
+
+def test_multiple_regex_spark(spark):
+    docs = spark.createDataFrame(
+        [("http://s.example/show?id=5", "A=q"), ("http://other/", "A=q")],
+        ["doc_id", "text"],
+    )
+    out = EX.extract_multiple_regex(
+        docs,
+        r"http://s\.example/show\?id=(\d+)",
+        {"a": r"A=(\w)"},
+        "http://t.example/${uriRegex[1]}/${a[1]}",
+    )
+    rows = [(r.doc_id, r.url, r.hop) for r in out.collect()]
+    assert rows == [("http://s.example/show?id=5", "http://t.example/5/q", "I")]
+
+
+# -- TrapSuppressExtractor ------------------------------------------------
+def test_trap_suppress_mask(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://h/child1", "http://h/parent", "DIGA"),
+            ("http://h/child2", "http://h/parent", "DIGB"),
+            ("http://h/seed", None, "DIGC"),
+        ],
+        ["page", "via", "__digest"],
+    )
+    parents = spark.createDataFrame(
+        [("http://h/parent", "DIGA")], ["doc_id", "content_digest"]
+    )
+    got = {
+        r["page"]: r["__trap_suppressed"]
+        for r in EX.trap_suppress_mask(pages, parents).collect()
+    }
+    # child1's content is identical to its via -> suppressed; others not
+    assert got == {
+        "http://h/child1": True,
+        "http://h/child2": False,
+        "http://h/seed": False,
+    }

@@ -80,11 +80,17 @@ def test_checkpoint_aware_gc_keeps_resume_working(spark, tmp_path):
     eng.run(max_rounds=6)
     all_tags = eng.catalog.list_checkpoints()
     assert len(all_tags) >= 5
-    n_dirs_before = sum(len(os.listdir(f"{state}/{t}")) for t in ("events", "frontier"))
-    kept = eng.catalog.prune_checkpoints(keep_last=2)
-    assert kept == all_tags[-2:]
+    # merge-on-read: every frontier dir is live until a compaction folds
+    # the chain (Iceberg: expire_snapshots only frees files a
+    # rewrite_data_files made unreachable) — compact, checkpoint the
+    # compacted state, then GC down to checkpoints that no longer
+    # reference the pre-compaction chain
+    eng.frontier_t.compact(spark, repartition_by="class_key", num_parts=4)
+    eng._checkpoint()
+    n_dirs_before = len(os.listdir(f"{state}/frontier"))
+    kept = eng.catalog.prune_checkpoints(keep_last=1)
     assert eng.catalog.list_checkpoints() == kept
-    n_dirs_after = sum(len(os.listdir(f"{state}/{t}")) for t in ("events", "frontier"))
+    n_dirs_after = len(os.listdir(f"{state}/frontier"))
     assert n_dirs_after < n_dirs_before  # actually freed something
     # resume from the oldest KEPT checkpoint and finish the crawl
     eng2 = CrawlEngine.resume(
