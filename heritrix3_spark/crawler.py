@@ -172,6 +172,23 @@ class CrawlConfig:
     # cost policy (frontier/UnitCost|AntiCalendar|WagCostAssignmentPolicy):
     # "unit" (default) | "anticalendar" | "wag"
     cost_policy: str = "unit"
+    # heritable data keys (CrawlURI.makeHeritable/inheritFrom,
+    # CrawlURI.java:1360-1375, 1469-1483): the frontier carries a
+    # ``data`` map<string,string>; every key in it is heritable — children
+    # copy the parent's map at candidate creation (non-heritable data
+    # never crosses a batch boundary in this engine, so only the heritable
+    # subset is materialized). sourceTagSeeds (SeedModule.java:40-46)
+    # stamps each seed with data['source_tag'] = its own URI, which then
+    # rides to every descendant and feeds the SourceTagsReport.
+    source_tag_seeds: bool = False
+    # content-digest history -> revisit dispositions (recrawl/
+    # FetchHistoryProcessor + revisit/IdenticalPayloadDigestRevisit.java:
+    # a success whose payload digest was already recorded is logged with
+    # the reference's "duplicate:digest" annotation and feeds the
+    # CrawledBytesHistotable novel/dupByHash split
+    # (engine/.../util/CrawledBytesHistotable.java:36-63). Off by default,
+    # like the reference's opt-in contentDigestHistory store.
+    digest_history: bool = False
     # DNS/robots state expiry against the virtual clock
     # (PreconditionEnforcer.isIpExpired, prefetch/PreconditionEnforcer.java
     # :60, 327-360 — reference default 6h; CrawlServer.isRobotsExpired
@@ -292,10 +309,16 @@ class CrawlEngine:
         # derive the seed-implied SURT scope prefixes (driver-side, tiny)
         canon = [r.canonical for r in seeds_ord.select("canonical").orderBy("ordinal").collect()]
         self.seed_prefixes = SC.seed_surt_prefixes(canon)
+        seed_data = (
+            F.create_map(F.lit("source_tag"), F.col("uri"))
+            if self.cfg.source_tag_seeds
+            else F.lit(None).cast("map<string,string>")
+        )
         frontier = seeds_ord.select(
             "uri", "canonical", "fp", "class_key", "is_seed", "hops_path", "via",
             "via_context", "sched_directive", "precedence", "cost", "ordinal",
             F.lit(0).alias("fetch_attempts"), F.lit(False).alias("force_fetch"),
+            seed_data.alias("data"),
         )
         self.frontier_t.overwrite(frontier.repartition(self.cfg.num_buckets, "class_key"))
         self.urlseen.add_fps(frontier.select("fp"))
@@ -319,6 +342,8 @@ class CrawlEngine:
                 F.lit(None).cast("int").alias("fetch_status"),
                 F.lit(None).cast("string").alias("disposition"),
                 F.lit(True).alias("is_seed"),
+                F.lit(None).cast("string").alias("annotation"),
+                F.col("data").getItem("source_tag").alias("source_tag"),
             )
         )
         self._checkpoint()
@@ -564,6 +589,59 @@ class CrawlEngine:
         )
         self.digest_t.append(new_digests)
         base.unpersist()
+
+    def _attach_revisit(self, fetched: DataFrame) -> DataFrame:
+        """Adds ``__digest`` and ``__revisit``: a success whose payload
+        digest appears in digest_seen OR earlier this round (by ordinal)
+        is an IdenticalPayloadDigestRevisit (revisit/
+        IdenticalPayloadDigestRevisit.java; FetchHistoryProcessor analog).
+        Also appends this round's novel digests to digest_seen — unless
+        quotas are on, in which case _update_quota_stats owns the append
+        (same novelty law, single writer)."""
+        is_success = F.col("disposition") == "success"
+        size = self._content_size_col()
+        digest = F.when(
+            is_success & (size > 0), F.sha1(F.to_json("spans"))
+        ).otherwise(F.lit(None).cast("string"))
+        fetched = fetched.withColumn("__digest", digest)
+        w = Window.partitionBy("__digest").orderBy("ordinal")
+        fetched = fetched.withColumn(
+            "__first_in_round", F.row_number().over(w) == 1
+        )
+        if self.digest_t.exists():
+            seen_d = self.digest_t.read(self.spark).select(
+                F.col("digest").alias("__dseen")
+            )
+            dkeys = fetched.select(F.col("__digest").alias("__dk")).distinct()
+            seen_d = seen_d.join(
+                F.broadcast(dkeys), seen_d["__dseen"] == F.col("__dk"), "left_semi"
+            )
+            fetched = fetched.join(
+                seen_d, fetched["__digest"] == F.col("__dseen"), "left"
+            )
+        else:
+            fetched = fetched.withColumn("__dseen", F.lit(None).cast("string"))
+        fetched = (
+            fetched.withColumn(
+                "__revisit",
+                F.col("__digest").isNotNull()
+                & ~(F.col("__first_in_round") & F.col("__dseen").isNull()),
+            )
+            # __dseen must not leak: _update_quota_stats re-joins its own
+            # pruned digest slice and a duplicate column would be ambiguous
+            .drop("__dseen", "__first_in_round")
+            .localCheckpoint()
+        )
+        if not self.cfg.quotas:
+            novel_digests = (
+                fetched.filter(
+                    F.col("__digest").isNotNull() & ~F.col("__revisit")
+                )
+                .select(F.col("__digest").alias("digest"))
+                .distinct()
+            )
+            self.digest_t.append(novel_digests)
+        return fetched
 
     def _bandwidth_advance(self, fetched: DataFrame) -> DataFrame:
         """(class_key, advance): the serial per-host clock with the
@@ -1039,6 +1117,18 @@ class CrawlEngine:
         fetched = fetched.localCheckpoint()
         timer.mark("fetch-barrier")
 
+        # --- revisit detection (IdenticalPayloadDigestRevisit law) --------
+        # a success whose payload digest was recorded before (earlier round
+        # via digest_seen, or an earlier ordinal this round) logs the
+        # reference's "duplicate:digest" annotation
+        if cfg.digest_history:
+            fetched = self._attach_revisit(fetched)
+            annotation = F.when(
+                F.col("__revisit"), F.lit("duplicate:digest")
+            ).otherwise(F.lit(None).cast("string"))
+        else:
+            annotation = F.lit(None).cast("string")
+
         # --- crawl log / journal rows (one combined events append) --------
         log_rows = fetched.filter(F.col("disposition") != "blocked").select(
             F.lit(self.round).alias("round"),
@@ -1054,6 +1144,8 @@ class CrawlEngine:
             "fetch_status",
             "disposition",
             "is_seed",
+            annotation.alias("annotation"),
+            F.col("data").getItem("source_tag").alias("source_tag"),
         )
 
         # --- documents sink (WARC analog): span payload + content digest ---
@@ -1080,6 +1172,7 @@ class CrawlEngine:
             F.col("hops_path").alias("parent_hops"),
             F.col("ordinal").alias("parent_ordinal"),
             F.col("is_seed").alias("parent_is_seed"),
+            F.col("data").alias("parent_data"),
             "spans",
         )
         outlinks = extract_outlinks_from_spans(pages, doc_id="page", spans="spans").join(
@@ -1094,6 +1187,9 @@ class CrawlEngine:
             "parent_is_seed",
             "parent_ordinal",
             "outlink_index",
+            # inheritFrom (CrawlURI.java:1469-1483): children copy the
+            # parent's heritable data map at candidate creation
+            F.col("parent_data").alias("data"),
         )
         if cfg.robots == "obey" or cfg.dns == "obey":
             # deferred triggers inject their prerequisite (dns:host or
@@ -1124,6 +1220,7 @@ class CrawlEngine:
                 F.lit(False).alias("parent_is_seed"),
                 F.col("ordinal").alias("parent_ordinal"),
                 F.lit(-1).alias("outlink_index"),
+                F.col("data"),
                 F.col("__prereq_force").alias("force_hint"),
             )
             cand = prereqs.unionByName(cand.withColumn("force_hint", F.lit(False)))
@@ -1214,6 +1311,7 @@ class CrawlEngine:
             "uri", "canonical", "fp", "class_key", "is_seed",
             "hops_path", "via", "via_context", "sched_directive", "precedence",
             "cost", "ordinal", F.lit(0).alias("fetch_attempts"), "force_fetch",
+            "data",
         ).localCheckpoint()
         # forced rows are rare and round-bounded: collect them (tiny) to
         # drive the exact-path seen insert + the addSeed scope announce
@@ -1233,6 +1331,8 @@ class CrawlEngine:
                     F.lit(None).cast("int").alias("fetch_status"),
                     F.lit(None).cast("string").alias("disposition"),
                     "is_seed",
+                    F.lit(None).cast("string").alias("annotation"),
+                    F.col("data").getItem("source_tag").alias("source_tag"),
                 )
             )
         )
@@ -1262,6 +1362,7 @@ class CrawlEngine:
                 "ordinal",
                 F.lit(0).alias("fetch_attempts"),
                 F.lit(False).alias("force_fetch"),
+                "data",
                 F.lit(self.clock + cfg.recrawl_interval_ms).cast("long").alias(
                     "reschedule_time"
                 ),
@@ -1278,6 +1379,8 @@ class CrawlEngine:
                     F.lit(None).cast("int").alias("fetch_status"),
                     F.lit(None).cast("string").alias("disposition"),
                     "is_seed",
+                    F.lit(None).cast("string").alias("annotation"),
+                    F.col("data").getItem("source_tag").alias("source_tag"),
                 )
             )
 
@@ -1295,14 +1398,14 @@ class CrawlEngine:
             .select(
                 "uri", "canonical", "fp", "class_key", "is_seed", "hops_path", "via",
                 "via_context", "sched_directive", "precedence", "cost", "ordinal",
-                F.col("__attempts").alias("fetch_attempts"), "force_fetch",
+                F.col("__attempts").alias("fetch_attempts"), "force_fetch", "data",
             )
         )
         # forceRetire'd over-quota URIs re-queue undisposed, attempts intact
         quota_requeued = fetched.filter(F.col("__quota_retire")).select(
             "uri", "canonical", "fp", "class_key", "is_seed", "hops_path", "via",
             "via_context", "sched_directive", "precedence", "cost", "ordinal",
-            "fetch_attempts", "force_fetch",
+            "fetch_attempts", "force_fetch", "data",
         )
         # NULL-safe: __quota_retire is NULL (not False) when __forced_status
         # is NULL — a bare ~col() would drop the row from the tombstone set
@@ -1594,6 +1697,17 @@ class CrawlEngine:
             "queue_depth": ST.queue_depth_stats(self.host_t.read(self.spark)),
             "digest_history": ST.digest_history(self.documents()),
             "crawled_bytes": ST.crawled_bytes_histotable(self.documents()),
+            # SourceTagsReport over the crawl log's heritable source_tag
+            # (host analog = the frontier queue key)
+            "source_tags": ST.source_tags_report(
+                log.withColumn("host", F.col("class_key"))
+            ),
+            "mimetypes": ST.mimetypes_report(
+                self.documents().select(
+                    F.lit("text/html").alias("content_type"),
+                    F.length(F.to_json("spans")).alias("content_length"),
+                )
+            ),
         }
 
     def export_pending_uris(self) -> DataFrame:

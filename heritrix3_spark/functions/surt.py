@@ -179,28 +179,23 @@ def bucket_class_key_col(uri: Column, num_buckets: int = 1024) -> Column:
     return (F.abs(h).bitwiseAND(F.lit(num_buckets - 1))).cast("string")
 
 
-_MULTI_PART_SLDS = ("co", "com", "org", "net", "ac", "gov", "edu")
-
-
 def assignment_level_class_key_col(uri: Column) -> Column:
     """AssignmentLevelSurtQueueAssignmentPolicy.java:44: reduce the SURT
-    authority to the topmost assignable domain. Heritrix delegates to the
-    public-suffix list; we apply the standard two-label rule with the
-    common multi-part second-level domains (co.uk etc.) — documented
-    approximation, swap in a full PSL table at deployment."""
+    authority to the topmost assignable domain (public-suffix plus one).
+    Heritrix delegates to PublicSuffixes.reduceSurtToAssignmentLevel over
+    the publicsuffix.org list; :mod:`heritrix3_spark.functions.psl`
+    carries a trimmed snapshot of that public data (registry + private
+    sections) with the same reduction law."""
+    from heritrix3_spark.functions.psl import assignment_level_domain_col
+
     host = F.lower(F.regexp_extract(uri, r"^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:]*)", 1))
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    second = F.element_at(labels, -2)
-    take = F.when(
-        (n >= 3) & second.isin(*_MULTI_PART_SLDS) & (F.length(F.element_at(labels, -1)) == 2),
-        F.lit(3),
-    ).otherwise(F.lit(2))
-    assignable = F.array_join(
-        F.reverse(F.slice(F.reverse(labels), 1, take.cast("int"))), "."
+    assignable = assignment_level_domain_col(host)
+    surt_form = F.concat(
+        F.array_join(F.reverse(F.split(assignable, r"\.")), ","), F.lit(",")
     )
-    surt_form = F.concat(F.array_join(F.reverse(F.split(assignable, r"\.")), ","), F.lit(","))
-    return F.when(n >= 2, surt_form).otherwise(F.lit(DEFAULT_CLASS_KEY))
+    return F.when(F.size(F.split(host, r"\.")) >= 2, surt_form).otherwise(
+        F.lit(DEFAULT_CLASS_KEY)
+    )
 
 
 # ---------------------------------------------------------------------------

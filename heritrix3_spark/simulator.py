@@ -83,6 +83,12 @@ class SimConfig:
     seeds_redirect_new_seeds: bool = True
     seed_accept: bool = False
     cost_policy: str = "unit"
+    # IdenticalPayloadDigestRevisit law shared with CrawlConfig: a success
+    # whose payload digest was recorded before gets the reference's
+    # "duplicate:digest" annotation on its log row
+    digest_history: bool = False
+    # heritable data keys / sourceTagSeeds — law shared with CrawlConfig
+    source_tag_seeds: bool = False
     session_budget_cost_law: bool = True  # always on; kept for doc symmetry
     # maxPerHostBandwidthUsageKbSec (DispositionProcessor.java:275-291);
     # 0 = off. Law shared with CrawlConfig.max_per_host_bandwidth_kb.
@@ -102,6 +108,8 @@ class SimURI:
     cost: int
     ordinal: int
     fetch_attempts: int = 0
+    # heritable data bag (CrawlURI.inheritFrom law); None = empty
+    data: dict | None = None
 
 
 @dataclass
@@ -224,9 +232,10 @@ def simulate(
             if p not in prefixes:
                 prefixes.append(p)
 
-    def schedule(uri, hops_path, via, is_seed, directive, force=False):
+    def schedule(uri, hops_path, via, is_seed, directive, force=False, data=None):
         """schedule->add (or addForce when ``force``): returns True when
-        the URI entered the frontier."""
+        the URI entered the frontier. ``data`` is the inherited heritable
+        bag (CrawlURI.inheritFrom)."""
         nonlocal next_ordinal
         canonical = canonicalize(uri)
         fp = create_key(canonical)
@@ -246,13 +255,17 @@ def simulate(
             precedence=cost,  # CostUriPrecedencePolicy
             cost=cost,
             ordinal=next_ordinal,
+            data=dict(data) if data else None,
         )
         next_ordinal += 1
         queues.setdefault(ck, Queue()).pending.append(s)
         return True
 
     for u in seed_uris:
-        schedule(u, "", None, True, MEDIUM)
+        schedule(
+            u, "", None, True, MEDIUM,
+            data={"source_tag": u} if cfg.source_tag_seeds else None,
+        )
 
     # robots state: server -> (parsed Robotstxt, fetched_at clock);
     # dns state: host -> resolved_at clock (PreconditionEnforcer analog)
@@ -409,6 +422,7 @@ def simulate(
                                 HIGHEST,
                                 False,
                                 prereq_force,
+                                curi.data,
                             )
                         )
                     else:
@@ -417,7 +431,8 @@ def simulate(
                     log.append(
                         dict(round=rnd, class_key=ck, uri=curi.uri,
                              canonical=curi.canonical, ordinal=curi.ordinal,
-                             fetch_status=-50, disposition=disposition)
+                             fetch_status=-50, disposition=disposition,
+                             source_tag=(curi.data or {}).get("source_tag"))
                     )
                     continue
                 if forced == -9998:
@@ -426,7 +441,8 @@ def simulate(
                     log.append(
                         dict(round=rnd, class_key=ck, uri=curi.uri,
                              canonical=curi.canonical, ordinal=curi.ordinal,
-                             fetch_status=-9998, disposition="disregard")
+                             fetch_status=-9998, disposition="disregard",
+                             source_tag=(curi.data or {}).get("source_tag"))
                     )
                     continue
                 # QuotaEnforcer gate (after preconditions, before fetch —
@@ -445,7 +461,8 @@ def simulate(
                                 dict(round=rnd, class_key=ck, uri=curi.uri,
                                      canonical=curi.canonical,
                                      ordinal=curi.ordinal,
-                                     fetch_status=-5003, disposition="fail")
+                                     fetch_status=-5003, disposition="fail",
+                                     source_tag=(curi.data or {}).get("source_tag"))
                             )
                         continue
                 if is_dns:
@@ -485,18 +502,18 @@ def simulate(
                     bw_next = c + int(nbytes / (cfg.max_per_host_bandwidth_kb * 1.024))
                 t_host += duration + delay
                 q.total_expenditure += curi.cost
-                log.append(
-                    dict(
-                        round=rnd,
-                        class_key=ck,
-                        uri=curi.uri,
-                        canonical=curi.canonical,
-                        ordinal=curi.ordinal,
-                        fetch_status=status,
-                        disposition="success",
-                    )
+                row = dict(
+                    round=rnd,
+                    class_key=ck,
+                    uri=curi.uri,
+                    canonical=curi.canonical,
+                    ordinal=curi.ordinal,
+                    fetch_status=status,
+                    disposition="success",
+                    source_tag=(curi.data or {}).get("source_tag"),
                 )
-                if quotas and not is_dns:
+                log.append(row)
+                if (quotas or cfg.digest_history) and not is_dns:
                     content = (
                         tuple(web[curi.canonical])
                         if 200 <= status < 300 and curi.canonical in web
@@ -508,7 +525,7 @@ def simulate(
                         else 0
                     )
                     round_fetches.append(
-                        (curi.ordinal, server, ck, status, content, size)
+                        (curi.ordinal, server, ck, status, content, size, row)
                     )
                 if is_dns and server is not None:
                     dns_state[server] = T  # resolved at round-start clock
@@ -546,7 +563,7 @@ def simulate(
                             (
                                 curi.ordinal, offset, url,
                                 curi.hops_path + hop, curi.uri, NORMAL,
-                                curi.is_seed, False,
+                                curi.is_seed, False, curi.data,
                             )
                         )
             q.pending.extend(requeue)
@@ -560,8 +577,8 @@ def simulate(
         # in-round then cross-round — matches the engine's window law)
         for rk in retire_marks:
             queues[rk].retired = True
-        if quotas:
-            for ordinal, server, ck2, status, content, size in sorted(
+        if quotas or cfg.digest_history:
+            for ordinal, server, ck2, status, content, size, row in sorted(
                 round_fetches, key=lambda r: r[0]
             ):
                 if content is None or size == 0:
@@ -571,6 +588,12 @@ def simulate(
                 else:
                     novel = True
                     digests_seen.add(content)
+                # IdenticalPayloadDigestRevisit annotation (duplicate digest
+                # with an actual payload -> "duplicate:digest")
+                if cfg.digest_history and content is not None and size > 0 and not novel:
+                    row["annotation"] = "duplicate:digest"
+                if not quotas:
+                    continue
                 for cat, key in (
                     ("server", server),
                     ("host", server.split(":")[0]),
@@ -594,7 +617,7 @@ def simulate(
         forced_prereqs_round: set[str] = set()
         for (
             parent_ord, idx, url, hops, via, cur_directive, parent_is_seed,
-            force_hint,
+            force_hint, parent_data,
         ) in candidates:
             # seedsRedirectNewSeeds pre-scope mark (CandidatesProcessor law)
             promoted = (
@@ -627,7 +650,9 @@ def simulate(
                 if canonical in forced_prereqs_round:
                     continue
                 forced_prereqs_round.add(canonical)
-            scheduled = schedule(url, hops, via, promoted, directive, force=force)
+            scheduled = schedule(
+                url, hops, via, promoted, directive, force=force, data=parent_data
+            )
             if scheduled and promoted:
                 s = surt(canonical)
                 i = s.find(")")
