@@ -172,6 +172,14 @@ class CrawlConfig:
     # cost policy (frontier/UnitCost|AntiCalendar|WagCostAssignmentPolicy):
     # "unit" (default) | "anticalendar" | "wag"
     cost_policy: str = "unit"
+    # text-extractor tail in the fetch chain (FetchChain extractor order,
+    # profile-crawler-beans.cxml:317-345): extractors to run over each
+    # fetched page's joined text spans AFTER span-link extraction.
+    # Supported: "xml" (ExtractorXML, gated on looks_like_xml),
+    # "universal" (ExtractorUniversal, last-resort scan). Outlink order:
+    # span links first (offset order), then chain outputs — index continues
+    # from the span count so discovery order stays deterministic.
+    text_extractors: tuple = ()
     # heritable data keys (CrawlURI.makeHeritable/inheritFrom,
     # CrawlURI.java:1360-1375, 1469-1483): the frontier carries a
     # ``data`` map<string,string>; every key in it is heritable — children
@@ -181,6 +189,16 @@ class CrawlConfig:
     # stamps each seed with data['source_tag'] = its own URI, which then
     # rides to every descendant and feeds the SourceTagsReport.
     source_tag_seeds: bool = False
+    # CandidatesProcessor.processErrorOutlinks (postprocessor/
+    # CandidatesProcessor.java:101-112, default false): error responses
+    # (<200 or >=400, still real fetches) normally drop their outlinks;
+    # true schedules them too
+    process_error_outlinks: bool = False
+    # TrapSuppressExtractor (TrapSuppressExtractor.java:50-73): a page
+    # whose payload digest equals its via's archived digest is a suspected
+    # crawler trap — outlink extraction is suppressed and the crawl log
+    # row gets the reference's "trapSuppressExtractor" annotation
+    trap_suppress: bool = False
     # content-digest history -> revisit dispositions (recrawl/
     # FetchHistoryProcessor + revisit/IdenticalPayloadDigestRevisit.java:
     # a success whose payload digest was already recorded is logged with
@@ -642,6 +660,52 @@ class CrawlEngine:
             )
             self.digest_t.append(novel_digests)
         return fetched
+
+    def _attach_trap(self, fetched: DataFrame) -> DataFrame:
+        """Adds ``__trap`` (TrapSuppressExtractor law): the page's payload
+        digest equals its via's archived digest. The documents_out lookup
+        is pruned to the round's bounded via set (latest archive row per
+        via wins), never a full-table join."""
+        if "__digest" not in fetched.columns:
+            is_success = F.col("disposition") == "success"
+            size = self._content_size_col()
+            fetched = fetched.withColumn(
+                "__digest",
+                F.when(is_success & (size > 0), F.sha1(F.to_json("spans"))).otherwise(
+                    F.lit(None).cast("string")
+                ),
+            )
+        fetched = fetched.withColumn("__via_canon", canonical_col(F.col("via")))
+        if self.documents_t.exists():
+            vias = fetched.select(F.col("__via_canon").alias("__vk")).distinct()
+            docs = self.documents_t.read(self.spark).select(
+                F.col("doc_id").alias("__pd_doc"),
+                F.col("content_digest").alias("__pd_digest"),
+                "fetch_round",
+            )
+            docs = docs.join(
+                F.broadcast(vias), docs["__pd_doc"] == F.col("__vk"), "left_semi"
+            )
+            w = Window.partitionBy("__pd_doc").orderBy(F.desc("fetch_round"))
+            latest = (
+                docs.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") == 1)
+                .select("__pd_doc", "__pd_digest")
+            )
+            fetched = fetched.join(
+                latest, fetched["__via_canon"] == F.col("__pd_doc"), "left"
+            ).drop("__pd_doc")
+        else:
+            fetched = fetched.withColumn("__pd_digest", F.lit(None).cast("string"))
+        return (
+            fetched.withColumn(
+                "__trap",
+                F.col("__digest").isNotNull()
+                & (F.col("__digest") == F.col("__pd_digest")),
+            )
+            .drop("__pd_digest", "__via_canon")
+            .localCheckpoint()
+        )
 
     def _bandwidth_advance(self, fetched: DataFrame) -> DataFrame:
         """(class_key, advance): the serial per-host clock with the
@@ -1123,11 +1187,18 @@ class CrawlEngine:
         # reference's "duplicate:digest" annotation
         if cfg.digest_history:
             fetched = self._attach_revisit(fetched)
-            annotation = F.when(
-                F.col("__revisit"), F.lit("duplicate:digest")
-            ).otherwise(F.lit(None).cast("string"))
+            rev_ann = F.when(F.col("__revisit"), F.lit("duplicate:digest"))
         else:
-            annotation = F.lit(None).cast("string")
+            rev_ann = F.lit(None).cast("string")
+        if cfg.trap_suppress:
+            fetched = self._attach_trap(fetched)
+            trap_ann = F.when(F.col("__trap"), F.lit("trapSuppressExtractor"))
+        else:
+            trap_ann = F.lit(None).cast("string")
+        joined_ann = F.concat_ws(",", rev_ann, trap_ann)
+        annotation = F.when(F.length(joined_ann) > 0, joined_ann).otherwise(
+            F.lit(None).cast("string")
+        )
 
         # --- crawl log / journal rows (one combined events append) --------
         log_rows = fetched.filter(F.col("disposition") != "blocked").select(
@@ -1164,9 +1235,16 @@ class CrawlEngine:
         timer.mark("documents-append")
 
         # --- outlink extraction -> scope -> prepare -> dedup -------------
-        pages = fetched.filter(
-            (F.col("fetch_status") >= 200) & (F.col("fetch_status") < 400)
-        ).select(
+        page_ok = (F.col("fetch_status") >= 200) & (F.col("fetch_status") < 400)
+        if cfg.process_error_outlinks:
+            # error responses are real fetches (never the gate's synthetic
+            # forced statuses), so >=100 & ~no_fetch bounds them
+            page_ok = page_ok | (
+                (F.col("fetch_status") >= 100) & ~F.col("__no_fetch")
+            )
+        if cfg.trap_suppress:
+            page_ok = page_ok & ~F.coalesce(F.col("__trap"), F.lit(False))
+        pages = fetched.filter(page_ok).select(
             F.col("canonical").alias("page"),
             F.col("uri").alias("parent_uri"),
             F.col("hops_path").alias("parent_hops"),
@@ -1191,6 +1269,35 @@ class CrawlEngine:
             # parent's heritable data map at candidate creation
             F.col("parent_data").alias("data"),
         )
+        if cfg.text_extractors:
+            from heritrix3_spark.operators.extract import text_extractor_chain_udf
+
+            chain = text_extractor_chain_udf(cfg.text_extractors)
+            body = F.array_join(
+                F.transform(
+                    F.filter("spans", lambda s: s["kind"] == "text"),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            )
+            tx = pages.select(
+                "parent_uri", "parent_hops", "parent_ordinal", "parent_is_seed",
+                "parent_data",
+                F.size("spans").alias("__nspans"),
+                F.posexplode(chain(F.col("page"), body)).alias("pos", "l"),
+            )
+            extra = tx.select(
+                F.col("l.url").alias("uri"),
+                F.concat(F.col("parent_hops"), F.col("l.hop")).alias("hops_path"),
+                F.col("parent_uri").alias("via"),
+                F.col("l.context").alias("via_context"),
+                F.lit(FR.NORMAL).alias("sched_directive"),
+                "parent_is_seed",
+                "parent_ordinal",
+                (F.col("__nspans") + F.col("pos")).alias("outlink_index"),
+                F.col("parent_data").alias("data"),
+            )
+            cand = cand.unionByName(extra)
         if cfg.robots == "obey" or cfg.dns == "obey":
             # deferred triggers inject their prerequisite (dns:host or
             # /robots.txt): 'P' hop, HIGHEST directive, rides the trigger's
@@ -1696,7 +1803,8 @@ class CrawlEngine:
             "seeds": ST.seeds_report(log, self.journal()),
             "queue_depth": ST.queue_depth_stats(self.host_t.read(self.spark)),
             "digest_history": ST.digest_history(self.documents()),
-            "crawled_bytes": ST.crawled_bytes_histotable(self.documents()),
+            "crawled_bytes": ST.crawled_bytes_histotable(self.documents(), log),
+            "fetch_history": ST.fetch_history(log, self.documents()),
             # SourceTagsReport over the crawl log's heritable source_tag
             # (host analog = the frontier queue key)
             "source_tags": ST.source_tags_report(

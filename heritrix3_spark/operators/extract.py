@@ -741,6 +741,96 @@ def extract_multiple_regex(
     )
 
 
+# ExtractorUniversal (ExtractorUniversal.java:358-470): last-resort scan of
+# ANY content for URL-shaped character runs. A run of URLable chars
+# (isURLableChar :496-504) containing a dot "looks like an URL" when
+# http(s)://dotted-quad fully matches, or any dot-suffix's first <=6 chars
+# is a TLD (the reference enumerates every ccTLD + the classic gTLDs —
+# equivalently: any 2 letters, or the gTLD set). Garbage before 'http' is
+# stripped, trailing dots stripped; hop SPECULATIVE 'X'.
+_RE_UNIV_RUN = re.compile(r"[#-&+-;=?-Z_a-z~]+")
+_RE_UNIV_IP = re.compile(r"(?:(?:http://)|(?:https://))\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}")
+_RE_UNIV_TLD = re.compile(
+    # case-sensitive like the reference's TLDs pattern (lowercase entries)
+    r"(?:[a-z]{2}|aero|arpa|biz|com|coop|edu|gov|info|int|mil|museum|name|net|org|pro)"
+    r"(?:/.*)?$"
+)
+_UNIV_MAX_PARSE = 1 << 20  # maxSizeToParse default 1MB
+_UNIV_MAX_URL = 2083  # UURI.MAX_URL_LENGTH
+
+
+def _univ_looks_like_url(s: str) -> bool:
+    if s.startswith("http://") or s.startswith("https://"):
+        if _RE_UNIV_IP.fullmatch(s):
+            return True
+    dot = s.find(".")
+    if dot != 0:
+        while dot != -1 and dot < len(s):
+            s = s[dot + 1 :]
+            if _RE_UNIV_TLD.fullmatch(s[:6] if len(s) > 6 else s):
+                return True
+            dot = s.find(".")
+    return False
+
+
+def _extract_universal_one(body: str) -> list[tuple]:
+    if not body:
+        return []
+    out = []
+    for m in _RE_UNIV_RUN.finditer(body[:_UNIV_MAX_PARSE]):
+        run = m.group(0)
+        if len(run) > _UNIV_MAX_URL or len(run) <= 3 or "." not in run:
+            continue
+        if _univ_looks_like_url(run):
+            i = run.lower().find("http")
+            if i > 0:
+                run = run[i:]  # strip garbage before the protocol
+            run = run.rstrip(".")
+            out.append((run, "universal", "X"))
+            if len(out) >= MAX_OUTLINKS:
+                break
+    return out
+
+
+@pandas_udf(ArrayType(OUTLINK_TYPE))
+def extract_universal_udf(body: pd.Series) -> pd.Series:
+    return pd.Series([_extract_universal_one(b) for b in body.fillna("")])
+
+
+def text_extractor_chain_udf(extractors: tuple):
+    """Engine-facing chain over a page's joined text spans — the FetchChain
+    extractor-sequence analog for the text-extractor tail. Each output URL
+    is made absolute the way the reference does: ExtractorXML
+    addRelativeToBase; ExtractorUniversal feeds the raw string to
+    UURIFactory, so scheme-less host-shaped strings get the speculative
+    http:// fixup first. Order within a page: configured extractor order,
+    then match order."""
+    valid = {"xml", "universal"}
+    unknown = set(extractors) - valid
+    if unknown:
+        raise ValueError(f"unknown text extractors: {sorted(unknown)}")
+
+    @pandas_udf(ArrayType(OUTLINK_TYPE))
+    def chain(uri: pd.Series, body: pd.Series) -> pd.Series:
+        out = []
+        for u, b in zip(uri.fillna(""), body.fillna("")):
+            links: list[tuple] = []
+            for name in extractors:
+                if name == "xml" and looks_like_xml(b, uri=u):
+                    links += [
+                        (_py_resolve(u, x), c, h) for x, c, h in _extract_xml_one(b)
+                    ]
+                elif name == "universal":
+                    links += [
+                        (_py_resolve(u, _speculative_fixup(x, u)), c, h)
+                        for x, c, h in _extract_universal_one(b)
+                    ]
+            out.append(links[:MAX_OUTLINKS])
+        return pd.Series(out)
+
+    return chain
+
+
 def trap_suppress_mask(pages: DataFrame, parent_digests: DataFrame) -> DataFrame:
     """TrapSuppressExtractor (TrapSuppressExtractor.java:50-73): a page
     whose content digest equals its via's digest is a suspected crawler

@@ -124,12 +124,60 @@ def source_tags_report(
     )
 
 
-def crawled_bytes_histotable(documents_out: DataFrame) -> DataFrame:
-    """novel vs dupByHash fetch accounting (CrawledBytesHistotable law):
-    the first fetch of a digest is 'novel', later identical payloads are
-    'dupByHash'."""
+def crawled_bytes_histotable(
+    documents_out: DataFrame, crawl_log: DataFrame | None = None
+) -> DataFrame:
+    """novel vs dupByHash vs notModified fetch accounting
+    (CrawledBytesHistotable law, engine/.../util/
+    CrawledBytesHistotable.java:36-63): the first fetch of a digest is
+    'novel', later identical payloads are 'dupByHash'; with the crawl log
+    supplied, 304 responses tally as 'notModified' (they carry no payload
+    so they never reach the documents sink)."""
     w = Window.partitionBy("content_digest").orderBy("fetch_round", "doc_id")
     tagged = documents_out.withColumn(
         "kind", F.when(F.row_number().over(w) == 1, "novel").otherwise("dupByHash")
     )
-    return tagged.groupBy("kind").agg(F.count("*").alias("n"))
+    out = tagged.groupBy("kind").agg(F.count("*").alias("n"))
+    if crawl_log is not None:
+        nm = (
+            crawl_log.filter(F.col("fetch_status") == 304)
+            .agg(F.count("*").alias("n"))
+            .select(F.lit("notModified").alias("kind"), "n")
+            .filter(F.col("n") > 0)
+        )
+        out = out.unionByName(nm)
+    return out
+
+
+def fetch_history(
+    crawl_log: DataFrame, documents_out: DataFrame, depth: int = 2
+) -> DataFrame:
+    """A_FETCH_HISTORY analog (CrawlURI.java:79, 1778-1786;
+    recrawl/FetchHistoryProcessor.java): per canonical URI, the latest
+    ``depth`` final fetch records (round, status, content digest), newest
+    first — the rolling history the reference keeps on the CrawlURI for
+    revisit/not-modified decisions."""
+    finals = crawl_log.filter(F.col("disposition") != "retry").select(
+        "canonical", "round", "ordinal", "fetch_status"
+    )
+    digests = documents_out.select(
+        F.col("doc_id").alias("canonical"),
+        F.col("fetch_round").alias("round"),
+        "content_digest",
+    )
+    joined = finals.join(digests, ["canonical", "round"], "left")
+    w = Window.partitionBy("canonical").orderBy(F.desc("round"), F.desc("ordinal"))
+    return (
+        joined.withColumn("__k", F.row_number().over(w))
+        .filter(F.col("__k") <= depth)
+        .groupBy("canonical")
+        .agg(
+            F.reverse(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("round", "fetch_status", "content_digest")
+                    )
+                )
+            ).alias("history")
+        )
+    )

@@ -89,6 +89,13 @@ class SimConfig:
     digest_history: bool = False
     # heritable data keys / sourceTagSeeds — law shared with CrawlConfig
     source_tag_seeds: bool = False
+    # text-extractor tail over joined text spans — law shared with
+    # CrawlConfig.text_extractors ("xml", "universal")
+    text_extractors: tuple = ()
+    # TrapSuppressExtractor law shared with CrawlConfig.trap_suppress
+    trap_suppress: bool = False
+    # CandidatesProcessor.processErrorOutlinks — law shared with CrawlConfig
+    process_error_outlinks: bool = False
     session_budget_cost_law: bool = True  # always on; kept for doc symmetry
     # maxPerHostBandwidthUsageKbSec (DispositionProcessor.java:275-291);
     # 0 = off. Law shared with CrawlConfig.max_per_host_bandwidth_kb.
@@ -286,6 +293,9 @@ def simulate(
     }
     quota_stats: dict[tuple[str, str], dict[str, int]] = {}
     digests_seen: set = set()
+    # documents-sink analog for TrapSuppressExtractor: canonical -> latest
+    # archived payload (content tuple)
+    archived: dict[str, tuple] = {}
 
     def quota_blocked(snapshot, server, host, group) -> bool:
         for cat, key in (("server", server), ("host", host), ("group", group)):
@@ -549,7 +559,35 @@ def simulate(
                     futures.append(
                         (T + cfg.recrawl_interval_ms, _replace(curi, fetch_attempts=0))
                     )
-                if 200 <= status < 400:
+                # TrapSuppressExtractor: payload identical to the via's
+                # archived payload -> suppress extraction + annotate.
+                # archived state is previous-rounds-only in the engine; a
+                # parent can never be fetched in its child's round, so the
+                # inline update below is equivalent.
+                trap = False
+                if cfg.trap_suppress and 200 <= status < 300:
+                    content_here = (
+                        tuple(web[curi.canonical]) if curi.canonical in web else None
+                    )
+                    size_here = (
+                        sum(len(t or "") + len(r or "") for k, t, r, o in content_here)
+                        if content_here
+                        else 0
+                    )
+                    if (
+                        content_here is not None
+                        and size_here > 0
+                        and curi.via is not None
+                        and archived.get(canonicalize(curi.via)) == content_here
+                    ):
+                        trap = True
+                        row["annotation"] = "trapSuppressExtractor"
+                    if content_here is not None:
+                        archived[curi.canonical] = content_here
+                extract_ok = 200 <= status < 400 or (
+                    cfg.process_error_outlinks and status >= 100
+                )
+                if extract_ok and not trap:
                     for kind, text, ref, offset in web.get(curi.canonical, []):
                         if kind not in ("link", "img", "script", "css", "media", "location"):
                             continue
@@ -566,6 +604,52 @@ def simulate(
                                 curi.is_seed, False, curi.data,
                             )
                         )
+                    if cfg.text_extractors:
+                        # text-extractor tail: chain outputs follow the span
+                        # links, outlink_index continuing from the span count
+                        from heritrix3_spark.operators.extract import (
+                            _extract_universal_one,
+                            _extract_xml_one,
+                            _py_resolve,
+                            _speculative_fixup,
+                            looks_like_xml,
+                        )
+
+                        spans_here = web.get(curi.canonical, [])
+                        body = "\n".join(
+                            t for k, t, r, o in spans_here
+                            if k == "text" and t is not None
+                        )
+                        idx2 = len(spans_here)
+                        links2: list[tuple] = []
+                        for name in cfg.text_extractors:
+                            if name == "xml" and looks_like_xml(
+                                body, uri=curi.canonical
+                            ):
+                                links2 += [
+                                    (_py_resolve(curi.canonical, x), h)
+                                    for x, c, h in _extract_xml_one(body)
+                                ]
+                            elif name == "universal":
+                                links2 += [
+                                    (
+                                        _py_resolve(
+                                            curi.canonical,
+                                            _speculative_fixup(x, curi.canonical),
+                                        ),
+                                        h,
+                                    )
+                                    for x, c, h in _extract_universal_one(body)
+                                ]
+                        for url2, hop2 in links2:
+                            candidates.append(
+                                (
+                                    curi.ordinal, idx2, url2,
+                                    curi.hops_path + hop2, curi.uri, NORMAL,
+                                    curi.is_seed, False, curi.data,
+                                )
+                            )
+                            idx2 += 1
             q.pending.extend(requeue)
             # the last fetch's bandwidth floor carries into the next round
             q.wake_time = max(t_host, bw_next)
@@ -591,7 +675,10 @@ def simulate(
                 # IdenticalPayloadDigestRevisit annotation (duplicate digest
                 # with an actual payload -> "duplicate:digest")
                 if cfg.digest_history and content is not None and size > 0 and not novel:
-                    row["annotation"] = "duplicate:digest"
+                    prev = row.get("annotation")
+                    row["annotation"] = "duplicate:digest" + (
+                        "," + prev if prev else ""
+                    )
                 if not quotas:
                     continue
                 for cat, key in (

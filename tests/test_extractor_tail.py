@@ -159,6 +159,128 @@ def test_multiple_regex_spark(spark):
     assert rows == [("http://s.example/show?id=5", "http://t.example/5/q", "I")]
 
 
+# -- ExtractorUniversal ---------------------------------------------------
+def test_extract_universal():
+    out = EX._extract_universal_one(
+        "plain text see www.example.com here and junkhttp://foo.org/path end "
+        "also http://10.1.2.3 but not example.xyz nor a.b"
+    )
+    urls = [u for u, _, _ in out]
+    assert "www.example.com" in urls
+    # garbage before the protocol is stripped (indexOf('http') > 0 law)
+    assert "http://foo.org/path" in urls
+    # dotted-quad with scheme passes the IP branch
+    assert "http://10.1.2.3" in urls
+    # unknown TLD and too-short runs are rejected
+    assert not any("xyz" in u for u in urls)
+    assert "a.b" not in urls
+    # trailing sentence dots are not part of a TLD suffix
+    out2 = EX._extract_universal_one("end of sentence www.example.com. next")
+    assert out2 == []  # the run includes the trailing dot -> TLD check fails
+    assert all(h == "X" for _, _, h in out)
+
+
+# -- engine-wired text-extractor chain ------------------------------------
+def test_text_extractor_chain_crawl_parity(spark, tmp_path):
+    """CrawlConfig.text_extractors wires the tail into the fetch chain:
+    an XML page's CDATA link and a universal-scan link are discovered,
+    scheduled after the span links (outlink_index continues from the span
+    count) — exact engine-vs-simulator parity."""
+    from heritrix3_spark import fixtures as FX
+    from heritrix3_spark.crawler import CrawlConfig, CrawlEngine
+    from heritrix3_spark.simulator import SimConfig, simulate
+
+    # host under a REAL TLD: ExtractorUniversal only accepts its TLD list,
+    # and the implied seed prefix is authority-exact (round-1 scope law)
+    web = {
+        "http://h9.example.com/p0": [
+            ("text", "front read h9.example.com/found here", None, 0),
+            ("link", "feed", "http://h9.example.com/feed.xml", 1),
+        ],
+        "http://h9.example.com/feed.xml": [
+            (
+                "text",
+                '<?xml version="1.0"?><rss><link>'
+                "http://h9.example.com/from-xml</link></rss>",
+                None,
+                0,
+            ),
+        ],
+        "http://h9.example.com/from-xml": [("text", "leaf a", None, 0)],
+        "http://h9.example.com/found": [("text", "leaf b", None, 0)],
+    }
+    seeds = ["http://h9.example.com/p0"]
+    cfg_kw = dict(text_extractors=("xml", "universal"))
+    sim_log, sim_seen = simulate(web, seeds, SimConfig(**cfg_kw))
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "txchain"),
+        spark.createDataFrame([(u, s) for u, s in web.items()], FX.DOCUMENTS_SCHEMA),
+        CrawlConfig(num_buckets=4, ordinal_partitions=1, bloom=False, **cfg_kw),
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=30)
+    srows = sorted(
+        (l["round"], l["canonical"], l["ordinal"], l["fetch_status"], l["disposition"])
+        for l in sim_log
+    )
+    erows = sorted(
+        (r.round, r.canonical, r.ordinal, r.fetch_status, r.disposition)
+        for r in eng_log.collect()
+    )
+    assert erows == srows
+    fetched = {r[1] for r in erows if r[4] == "success" and r[3] == 200}
+    assert "http://h9.example.com/from-xml" in fetched   # via ExtractorXML
+    assert "http://h9.example.com/found" in fetched      # via ExtractorUniversal
+    assert {r.fp for r in eng.urlseen.seen(spark).collect()} == sim_seen
+
+
+def test_trap_suppress_crawl_parity(spark, tmp_path):
+    """CrawlConfig.trap_suppress: a child whose payload is identical to its
+    via's archived payload logs trapSuppressExtractor and contributes no
+    outlinks — exact parity including annotations."""
+    from heritrix3_spark import fixtures as FX
+    from heritrix3_spark.crawler import CrawlConfig, CrawlEngine
+    from heritrix3_spark.simulator import SimConfig, simulate
+
+    same = [("text", "trap body", None, 0), ("link", "l", "/p1", 1)]
+    web = {
+        "http://h0.example/p0": list(same),
+        # p1 is byte-identical to its via p0 -> trap; its link to /p2 must
+        # NOT be followed
+        "http://h0.example/p1": list(same),
+        "http://h0.example/p2": [("text", "leaf", None, 0)],
+    }
+    # make p1's (suppressed) outlink point somewhere discoverable
+    web["http://h0.example/p1"] = [
+        ("text", "trap body", None, 0),
+        ("link", "l", "/p1", 1),
+    ]
+    seeds = ["http://h0.example/p0"]
+    cfg_kw = dict(trap_suppress=True)
+    sim_log, sim_seen = simulate(web, seeds, SimConfig(**cfg_kw))
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "trap"),
+        spark.createDataFrame([(u, s) for u, s in web.items()], FX.DOCUMENTS_SCHEMA),
+        CrawlConfig(num_buckets=4, ordinal_partitions=1, bloom=False, **cfg_kw),
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=20)
+    srows = sorted(
+        (l["round"], l["canonical"], l["ordinal"], l["disposition"], l.get("annotation"))
+        for l in sim_log
+    )
+    erows = sorted(
+        (r.round, r.canonical, r.ordinal, r.disposition, r.annotation)
+        for r in eng_log.collect()
+    )
+    assert erows == srows
+    traps = [r for r in erows if r[4] == "trapSuppressExtractor"]
+    assert [r[1] for r in traps] == ["http://h0.example/p1"]
+    assert {r.fp for r in eng.urlseen.seen(spark).collect()} == sim_seen
+
+
 # -- TrapSuppressExtractor ------------------------------------------------
 def test_trap_suppress_mask(spark):
     pages = spark.createDataFrame(

@@ -98,6 +98,32 @@ def test_round_writes_are_o_delta(spark, tmp_path):
     assert eng.robots_t.base.latest_version() <= 1
 
 
+def test_mor_read_merge_plan_shape(spark, tmp_path):
+    """The merge must broadcast the (bounded) delta-key side of the
+    anti-join and run its window over the delta only — never an O(table)
+    shuffle of the base."""
+    cat = SnapshotCatalog(str(tmp_path))
+    t = MergeOnReadTable(cat, "front", "ordinal")
+    t.overwrite(
+        spark.range(200_000).select(
+            F.col("id").alias("ordinal"),
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("uri"),
+            F.lit(0).alias("attempts"),
+        )
+    )
+    t.commit_delta(
+        spark.createDataFrame([(5, "u5", 1)], ROW),
+        spark.createDataFrame([(6,), (7,)], "ordinal long"),
+        seq=1,
+    )
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    # base side must not be exchanged for the anti-join: the only
+    # hash-partition exchanges allowed are for the delta window/distinct
+    anti_section = plan.split("LeftAnti")[1]
+    assert "BroadcastExchange" in anti_section or "BroadcastQueryStage" in anti_section
+
+
 def test_resume_rolls_back_deltas(spark, tmp_path):
     """Time-travel must restore BOTH base and delta pointers — including a
     delta table that did not exist at checkpoint time (version 0)."""

@@ -97,6 +97,52 @@ def test_recrawl_second_visit_is_revisit(spark, tmp_path):
         assert firsts, r
 
 
+def test_fetch_history_rolling_depth(spark, tmp_path):
+    """A_FETCH_HISTORY analog: after a recrawl, each page's history holds
+    the latest K final fetch records, newest first, with digests."""
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "fhist"),
+        FX.synth_web_df(spark, 1, 2),
+        CrawlConfig(
+            num_buckets=4, ordinal_partitions=1, bloom=False,
+            recrawl_interval_ms=40_000,
+        ),
+    )
+    eng.bootstrap(FX.seed_lines(1))
+    eng.run(max_rounds=14)
+    hist = {r.canonical: r.history for r in eng.reports()["fetch_history"].collect()}
+    seed = "http://h0.example/p0"
+    assert seed in hist
+    records = hist[seed]
+    assert len(records) == 2  # recrawled once, depth default 2
+    assert records[0]["round"] > records[1]["round"]  # newest first
+    # unchanged page: identical digests across visits
+    assert records[0]["content_digest"] == records[1]["content_digest"]
+    assert records[0]["content_digest"] is not None
+
+
+def test_not_modified_accounting(spark, tmp_path):
+    """A 304 response (status override) tallies as notModified in the
+    CrawledBytesHistotable (it has no payload, so it is neither novel nor
+    dupByHash)."""
+    ov = spark.createDataFrame([("http://h0.example/p1", 304)], ["canonical", "status"])
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "nm"),
+        FX.synth_web_df(spark, 1, 3),
+        CrawlConfig(num_buckets=4, ordinal_partitions=1, bloom=False),
+        fetch_status_overrides=ov,
+    )
+    eng.bootstrap(FX.seed_lines(1))
+    eng.run(max_rounds=20)
+    histo = {r.kind: r.n for r in eng.reports()["crawled_bytes"].collect()}
+    assert histo.get("notModified") == 1
+    assert "http://h0.example/p1" not in {
+        r.doc_id for r in eng.documents().collect()
+    }
+
+
 def test_crawled_bytes_histotable_report(spark, tmp_path):
     """novel/dupByHash split over the documents sink."""
     web = _twin_web()
