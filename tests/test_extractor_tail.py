@@ -281,6 +281,67 @@ def test_trap_suppress_crawl_parity(spark, tmp_path):
     assert {r.fp for r in eng.urlseen.seen(spark).collect()} == sim_seen
 
 
+# -- binary trio: PDF / SWF / DOC -----------------------------------------
+def test_extract_pdf_uri_actions():
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Action /S /URI "
+        b"/URI (http://x.example/a\\(1\\)) >>\nendobj\n"
+        b"2 0 obj\n<< /S /URI /URI (https://y.example/b) >>\nendobj\n"
+    )
+    got = EX._extract_pdf_one(pdf)
+    assert [u for u, _, _ in got] == [
+        "http://x.example/a(1)",  # PDF string escapes unescaped
+        "https://y.example/b",
+    ]
+    assert EX._extract_pdf_one(b"not a pdf /URI (http://z)") == []
+
+
+def test_extract_swf_fws_and_cws():
+    import zlib
+
+    body = b"\x01\x02http://x.example/movie.html\x00\x03tail"
+    fws = b"FWS\x06" + (len(body) + 8).to_bytes(4, "little") + body
+    assert [u for u, _, _ in EX._extract_swf_one(fws)] == [
+        "http://x.example/movie.html"
+    ]
+    cws = b"CWS\x06" + (len(body) + 8).to_bytes(4, "little") + zlib.compress(body)
+    assert [u for u, _, _ in EX._extract_swf_one(cws)] == [
+        "http://x.example/movie.html"
+    ]
+    assert EX._extract_swf_one(b"GIF89a....") == []
+
+
+def test_extract_doc_hyperlinks():
+    # the reference's own law: HYPERLINK.*?"(.*?)" over the document text
+    # (ExtractorDOC.java:48), text recovered from the UTF-16LE stream
+    text = 'some text HYPERLINK "http://x.example/d" more'
+    got = EX._extract_doc_one(text.encode("utf-16-le"))
+    assert [u for u, _, _ in got] == ["http://x.example/d"]
+    got2 = EX._extract_doc_one(text.encode("latin-1"))
+    assert [u for u, _, _ in got2] == ["http://x.example/d"]
+    assert EX._extract_doc_one(b"plain words, no links") == []
+
+
+def test_binary_udfs_spark(spark):
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    body = b"http://s.example/x\x00"
+    rows = [
+        (bytearray(b"%PDF-1.4 << /URI (http://p.example/1) >>"),),
+        (bytearray(b"CWS\x06\x00\x00\x00\x00" + zlib.compress(body)),),
+        (bytearray('HYPERLINK "http://d.example/2"'.encode("utf-16-le")),),
+    ]
+    df = spark.createDataFrame(rows, "content binary")
+    pdf = df.select(F.explode(EX.extract_pdf_udf("content")).alias("l")).collect()
+    swf = df.select(F.explode(EX.extract_swf_udf("content")).alias("l")).collect()
+    doc = df.select(F.explode(EX.extract_doc_udf("content")).alias("l")).collect()
+    assert {r.l.url for r in pdf} == {"http://p.example/1"}
+    assert {r.l.url for r in swf} == {"http://s.example/x"}
+    assert {r.l.url for r in doc} == {"http://d.example/2"}
+
+
 # -- TrapSuppressExtractor ------------------------------------------------
 def test_trap_suppress_mask(spark):
     pages = spark.createDataFrame(
