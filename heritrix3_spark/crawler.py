@@ -189,6 +189,15 @@ class CrawlConfig:
     # stamps each seed with data['source_tag'] = its own URI, which then
     # rides to every descendant and feeds the SourceTagsReport.
     source_tag_seeds: bool = False
+    # queue-assignment policy (frontier/*QueueAssignmentPolicy.java):
+    # "surt" (SurtAuthority, the Heritrix default — supports
+    # parallel_queues), "hostname" (HostnameQueueAssignmentPolicy),
+    # "assignment_level" (AssignmentLevelSurt over the public-suffix
+    # snapshot), "bucket" (BucketQueueAssignmentPolicy no-IP branch).
+    # All policies inherit the base-policy law that prerequisites ride
+    # their trigger's queue (URIAuthorityBasedQueueAssignmentPolicy
+    # getCoreKey-on-basis, :89-145).
+    queue_assignment: str = "surt"
     # CandidatesProcessor.processErrorOutlinks (postprocessor/
     # CandidatesProcessor.java:101-112, default false): error responses
     # (<200 or >=400, still real fetches) normally drop their outlinks;
@@ -268,7 +277,11 @@ class CrawlEngine:
         # Per-round write cost is O(delta) not O(table) (round-2 verdict #1
         # scale cost; Iceberg-MERGE analog, see storage.MergeOnReadTable).
         self.frontier_t = MergeOnReadTable(self.catalog, "frontier", "ordinal")
-        self.host_t = self.catalog.table("host_state")
+        # host_state is merge-on-read by class_key: a round only touches the
+        # queues that emitted, matured futures, or received novel URIs —
+        # O(touched)/round writes instead of O(hosts) (at 10^8 hosts the
+        # full rewrite was the last remaining O(table)/round cost)
+        self.host_t = MergeOnReadTable(self.catalog, "host_state", "class_key")
         # one append-only event table per crawl: journal tags F+/Fs/Fr/Fd/Ff
         # (FrontierJournal analog) + crawl.log disposition fields in one row
         self.events_t = self.catalog.table("events")
@@ -392,19 +405,40 @@ class CrawlEngine:
             cand.withColumn("sched_directive", directive)
             .withColumn("canonical", canonical_col(F.col("uri")))
             .withColumn("fp", fp_udf(F.col("canonical")))
-            .withColumn(
-                "class_key",
-                class_key_col(
-                    F.col("canonical"),
-                    F.col("hops_path"),
-                    F.col("via"),
-                    parallel_queues=self.cfg.parallel_queues,
-                ),
-            )
+            .withColumn("class_key", self._class_key_col())
             .withColumn("cost", cost)
             .withColumn("precedence", FR.cost_uri_precedence_col(F.col("cost")))
         )
         return out
+
+    def _class_key_col(self):
+        """Queue key per the configured policy; prerequisites always ride
+        their trigger's (via) queue — the base-policy basis law."""
+        if self.cfg.queue_assignment == "surt":
+            return class_key_col(
+                F.col("canonical"),
+                F.col("hops_path"),
+                F.col("via"),
+                parallel_queues=self.cfg.parallel_queues,
+            )
+        from heritrix3_spark.functions.surt import (
+            assignment_level_class_key_col,
+            bucket_class_key_col,
+            hostname_class_key_col,
+        )
+
+        policy = {
+            "hostname": hostname_class_key_col,
+            "assignment_level": assignment_level_class_key_col,
+            "bucket": bucket_class_key_col,
+        }[self.cfg.queue_assignment]
+        basis = F.when(
+            F.col("hops_path").endswith("P")
+            & F.col("via").isNotNull()
+            & (F.length(F.col("via")) > 0),
+            F.col("via"),
+        ).otherwise(F.col("canonical"))
+        return policy(basis)
 
     def _overlay_col(self, key: str, default):
         """Sheet-overlay value for ``key`` by class_key SURT-prefix match
@@ -827,6 +861,7 @@ class CrawlEngine:
         # queues (same ordinal — they are already in url_seen and bypass
         # dedup, exactly like the reference's futureUris re-receive) -------
         min_future: int | None = None
+        matured_keys: DataFrame | None = None
         if self.futures_t.exists():
             futures = self.futures_t.read(self.spark)
             matured = (
@@ -847,6 +882,9 @@ class CrawlEngine:
                 madd = matured.groupBy("class_key").agg(
                     F.count("*").cast("long").alias("__madd")
                 )
+                # maturation changes these queues' pending counts, so they
+                # belong to the round's touched-host set (O(delta) write)
+                matured_keys = madd.select("class_key")
                 hosts = (
                     hosts.join(madd, "class_key", "left")
                     .withColumn(
@@ -1704,7 +1742,19 @@ class CrawlEngine:
             )
             .drop("__budget", "__quota_retire")
         )
-        self.host_t.overwrite(updated)
+        # O(touched)/round: only queues that emitted, matured, or received
+        # novel URIs changed this round — upsert exactly those; untouched
+        # hosts keep their base/delta rows (merge-on-read)
+        touched = per_host.select("class_key").unionByName(
+            novel_per_host.select("class_key")
+        )
+        if matured_keys is not None:
+            touched = touched.unionByName(matured_keys)
+        changed = updated.join(
+            F.broadcast(touched.distinct()), "class_key", "left_semi"
+        )
+        self.host_t.upsert(changed, seq=2 * self.round + 1)
+        self.host_t.maybe_compact(self.spark, every=self.COMPACT_EVERY)
 
         timer.mark("host-write")
         # --- QuotaEnforcer stats accumulation (for next round's checks) ----
@@ -1886,6 +1936,7 @@ class CrawlEngine:
                 "frontier": self.frontier_t.latest_version(),
                 "frontier__delta": self.frontier_t.delta.latest_version(),
                 "host_state": self.host_t.latest_version(),
+                "host_state__delta": self.host_t.delta.latest_version(),
                 "events": self.events_t.latest_version(),
                 "documents_out": self.documents_t.latest_version(),
                 "robots": self.robots_t.latest_version(),

@@ -199,6 +199,39 @@ def assignment_level_class_key_col(uri: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# scalar twins of the alternate queue policies (simulator / oracle use)
+# ---------------------------------------------------------------------------
+def hostname_class_key(url: str) -> str:
+    """Scalar twin of :func:`hostname_class_key_col`."""
+    m = re.match(r"^([^:/?#]+)://(?:[^/?#@]*@)?([^/?#]*)", url)
+    if not m or not m.group(2):
+        return DEFAULT_CLASS_KEY
+    scheme, authority = m.group(1).lower(), m.group(2)
+    if scheme == "https" and not re.search(r".+:[0-9]+$", authority):
+        authority += ":443"
+    return authority.replace(":", "#")
+
+
+def bucket_class_key(url: str, num_buckets: int = 1024) -> str:
+    """Scalar twin of :func:`bucket_class_key_col` (no-IP branch)."""
+    m = re.match(r"^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:]*)", url)
+    host = (m.group(1) if m else "").lower()
+    return str(abs(java_string_hashcode(host)) & (num_buckets - 1))
+
+
+def assignment_level_class_key(url: str) -> str:
+    """Scalar twin of :func:`assignment_level_class_key_col`."""
+    from heritrix3_spark.functions.psl import assignment_level_domain
+
+    m = re.match(r"^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:]*)", url)
+    host = (m.group(1) if m else "").lower()
+    if len(host.split(".")) < 2:
+        return DEFAULT_CLASS_KEY
+    d = assignment_level_domain(host)
+    return ",".join(reversed(d.split("."))) + ","
+
+
+# ---------------------------------------------------------------------------
 # IP model (CrawlHost analog) + IP-based queue assignment
 # ---------------------------------------------------------------------------
 def java_string_hashcode(s: str) -> int:

@@ -96,6 +96,8 @@ class SimConfig:
     trap_suppress: bool = False
     # CandidatesProcessor.processErrorOutlinks — law shared with CrawlConfig
     process_error_outlinks: bool = False
+    # queue-assignment policy — law shared with CrawlConfig.queue_assignment
+    queue_assignment: str = "surt"
     session_budget_cost_law: bool = True  # always on; kept for doc symmetry
     # maxPerHostBandwidthUsageKbSec (DispositionProcessor.java:275-291);
     # 0 = off. Law shared with CrawlConfig.max_per_host_bandwidth_kb.
@@ -249,7 +251,23 @@ def simulate(
         if fp in seen and not force:
             return False
         seen.add(fp)
-        ck = surt_authority_class_key(canonical, hops_path, via)
+        if cfg.queue_assignment == "surt":
+            ck = surt_authority_class_key(canonical, hops_path, via)
+        else:
+            from heritrix3_spark.functions.surt import (
+                assignment_level_class_key,
+                bucket_class_key,
+                hostname_class_key,
+            )
+
+            basis = (
+                via if (hops_path.endswith("P") and via) else canonical
+            )
+            ck = {
+                "hostname": hostname_class_key,
+                "assignment_level": assignment_level_class_key,
+                "bucket": bucket_class_key,
+            }[cfg.queue_assignment](basis)
         cost = _cost(uri, via)
         s = SimURI(
             uri=uri,

@@ -92,10 +92,12 @@ def test_round_writes_are_o_delta(spark, tmp_path):
     # every base version after bootstrap is a fast append, not an overwrite
     for v in range(v_bootstrap + 1, base_t.latest_version() + 1):
         assert base_t._meta(v).get("mode") == "append", v
-    # dns/robots/quota analog: host_state is O(hosts) and allowed to
-    # overwrite; frontier/dns/robots must not have regrown overwrite chains
+    # dns/robots/host_state must not have regrown overwrite chains either:
+    # rounds only append deltas (host_state upserts its touched keys)
     assert eng.dns_t.base.latest_version() <= 1
     assert eng.robots_t.base.latest_version() <= 1
+    assert eng.host_t.base.latest_version() == 1  # the bootstrap overwrite
+    assert eng.host_t.delta.latest_version() >= 1  # rounds appended deltas
 
 
 def test_mor_read_merge_plan_shape(spark, tmp_path):
