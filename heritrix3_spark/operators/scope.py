@@ -35,6 +35,28 @@ def reject_all() -> Column:
     return F.lit(REJECT)
 
 
+def surt_auth_level_col(uri: Column) -> Column:
+    """The URI's authority-level SURT (scheme + '(authority)' — cut at the
+    first ')', inclusive): the candidate-side key of every seed-implied
+    prefix test. Shared by the InSet path below and the crawler's
+    broadcast-join path so both compare identical strings."""
+    s = surt_col(uri)
+    return F.concat(F.substring_index(s, ")", 1), F.lit(")"))
+
+
+def seed_surt_prefix_col(uri: Column) -> Column:
+    """Column form of :func:`seed_surt_prefixes`' per-seed law (SurtPrefixSet
+    .prefixFromPlainForceHttp): authority-level SURT with https unified to
+    http; NULL when the SURT has no ')' (non-URL). Lets a 10^6-seed
+    bootstrap derive its scope prefixes distributed instead of collecting
+    every seed canonical to the driver."""
+    s = surt_col(uri)
+    auth = F.concat(F.substring_index(s, ")", 1), F.lit(")"))
+    return F.when(
+        s.contains(")"), F.regexp_replace(auth, "^https://", "http://")
+    )
+
+
 def surt_prefixed(uri: Column, prefixes: list[str], decision: int = ACCEPT) -> Column:
     """SurtPrefixedDecideRule (deciderules/surt/SurtPrefixedDecideRule.java:74-182).
 
@@ -60,8 +82,7 @@ def surt_prefixed(uri: Column, prefixes: list[str], decision: int = ACCEPT) -> C
     general = [p for p in prefixes if not (p.endswith(")") and p.count(")") == 1)]
     hit = None
     if auth_level:
-        auth = F.concat(F.substring_index(s, ")", 1), F.lit(")"))
-        hit = auth.isin(auth_level)
+        hit = surt_auth_level_col(uri).isin(auth_level)
     if general:
         arr = F.array(*[F.lit(p) for p in general])
         scan = F.transform(
@@ -329,11 +350,21 @@ def default_scope(
     seed_surt_prefixes: list[str],
     max_hops: int = 20,
     reject_regexes: list[str] | None = None,
+    surt_hit: Column | None = None,
 ) -> Column:
-    """The default crawl scope as one boolean Column (True = in scope)."""
+    """The default crawl scope as one boolean Column (True = in scope).
+
+    ``surt_hit``: optional precomputed boolean for the acceptSurts rule —
+    the crawler passes a broadcast-join-produced column here when the
+    seed-prefix set is too large to embed in the plan as an InSet literal
+    (10^6-seed scale); the fold semantics are identical."""
     seq = decide_sequence(
         reject_all(),
-        surt_prefixed(uri, seed_surt_prefixes),
+        (
+            F.when(surt_hit, F.lit(ACCEPT)).otherwise(F.lit(NONE))
+            if surt_hit is not None
+            else surt_prefixed(uri, seed_surt_prefixes)
+        ),
         too_many_hops(hops_path, max_hops),
         transclusion(hops_path),
         matches_list_regex(uri, reject_regexes or []),

@@ -113,3 +113,68 @@ def test_catalog_checkpoints(tmp_path):
     ck = cat.read_checkpoint("r000001")
     assert ck["tables"] == {"t": 3} and ck["state"]["clock"] == 42
     assert cat.read_checkpoint("missing") is None
+
+
+def test_time_bucketed_table_mature_and_min(spark, tmp_path):
+    """Futures-table storage law: whole-bucket drain, metadata-only min."""
+    from heritrix3_spark.storage import TimeBucketedAppendTable
+
+    cat = SnapshotCatalog(str(tmp_path))
+    t = TimeBucketedAppendTable(cat, "fut", "rt")
+
+    def batch(vals, rt):
+        return spark.createDataFrame([(v, rt) for v in vals], ["x", "rt"])
+
+    t.schedule(batch([1, 2], 100), bucket=100)
+    t.schedule(batch([3], 200), bucket=200)
+    t.schedule(batch([4, 5], 300), bucket=300)
+    assert t.min_bucket() == 100
+    # nothing due -> no read, no commit
+    v0 = t.latest_version()
+    assert t.mature(spark, 50) is None and t.latest_version() == v0
+    # drain buckets <= 200 (two whole batches), O(1)-metadata drop
+    matured = t.mature(spark, 200)
+    assert sorted(r.x for r in matured.collect()) == [1, 2, 3]
+    assert t.min_bucket() == 300
+    assert sorted(r.x for r in t.read(spark).collect()) == [4, 5]
+    # re-schedule after drain keeps working
+    t.schedule(batch([6], 150), bucket=150)
+    assert t.min_bucket() == 150
+    got = t.mature(spark, 400)
+    assert sorted(r.x for r in got.collect()) == [4, 5, 6]
+    assert t.min_bucket() is None
+
+
+def test_time_bucketed_table_time_travel(spark, tmp_path):
+    """Rolling the pointer back past a retain commit restores the batch."""
+    from heritrix3_spark.storage import TimeBucketedAppendTable
+
+    cat = SnapshotCatalog(str(tmp_path))
+    t = TimeBucketedAppendTable(cat, "fut", "rt")
+    t.schedule(spark.createDataFrame([(1, 10)], ["x", "rt"]), bucket=10)
+    v_before = t.latest_version()
+    t.mature(spark, 10)
+    assert t.min_bucket() is None
+    t.t._commit(v_before)  # checkpoint-resume rollback path
+    assert t.min_bucket() == 10
+
+
+def test_fold_tail_bounds_chain_and_never_refolds(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path))
+    t = cat.table("events")
+    t.overwrite(_df(spark, [0]))
+    for i in range(1, 9):
+        t.append(_df(spark, [i]))
+    assert len(t._parents(t.latest_version())) == 9
+    assert t.fold_tail(spark, every=8)
+    chain = t._parents(t.latest_version())
+    # base overwrite + 1 folded dir
+    assert len(chain) == 2
+    assert sorted(r.x for r in t.read(spark).collect()) == list(range(9))
+    # folded dir is marked: the next fold waits for 8 NEW appends
+    assert not t.fold_tail(spark, every=8)
+    for i in range(9, 17):
+        t.append(_df(spark, [i]))
+    assert t.fold_tail(spark, every=8)
+    assert len(t._parents(t.latest_version())) == 3
+    assert sorted(r.x for r in t.read(spark).collect()) == list(range(17))
