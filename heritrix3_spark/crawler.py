@@ -45,6 +45,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from heritrix3_spark.functions import mime as MIME
+from heritrix3_spark.operators import auth as AUTH
 from heritrix3_spark.functions.canonicalize import canonical_col
 from heritrix3_spark.functions.surt import class_key_col
 from heritrix3_spark.operators import frontier as FR
@@ -233,6 +235,20 @@ class CrawlConfig:
     # an already-seen dns:/robots.txt URI re-enter the frontier).
     ip_validity_duration_s: int = 0
     robots_validity_duration_s: int = 0
+    # ExtractorHTML.shouldExtract mime gate (ExtractorHTML.java:763-790):
+    # when on, outlink extraction runs only over html/xhtml/wap-typed pages
+    # (untyped payloads pass, mirroring the reference's <html content-sniff
+    # fallback — the synthetic web's untyped payloads are HTML-shaped).
+    # Off by default: the reference ships the gate inside ExtractorHTML,
+    # but the parity suites' fixtures predate the content-type model.
+    mime_extract_gate: bool = False
+    # HTTP auth (operators/auth.py): auth_zones = ((server, path_prefix,
+    # realm, login, password), ...) protect synthetic paths (the selftest
+    # Jetty-constraint analog); credentials = ((domain, realm, login,
+    # password), ...) is the CredentialStore. Empty = off. One realm per
+    # server (documented subset — see auth.py docstring).
+    auth_zones: tuple = ()
+    credentials: tuple = ()
     # maxPerHostBandwidthUsageKbSec (DispositionProcessor.java:275-291,
     # default 0 = off): after each fetch the host may not emit again before
     # fetch_end + content_bytes/(cap*1.024) ms; the post-fetch snooze is
@@ -331,6 +347,11 @@ class CrawlEngine:
         # content-digest history (BdbContentDigestHistory analog) — drives
         # the novel-vs-revisit split in quota stats (§2.12 revisit wiring)
         self.digest_t = self.catalog.table("digest_seen")
+        # server-promoted credentials (FetchHTTP.promoteCredentials →
+        # CrawlServer credential set analog): (server, realm) rows,
+        # append-only + distinct-at-read — promotion is monotone and the
+        # table is bounded by |servers| x |store realms|
+        self.auth_t = self.catalog.table("auth_state")
         # seed-implied scope prefixes at 10^6-seed scale: the driver list
         # (InSet mode) is swapped for this table + a broadcast semi-join
         # when the seed count exceeds cfg.seed_prefix_inset_max
@@ -419,6 +440,8 @@ class CrawlEngine:
                 F.lit(True).alias("is_seed"),
                 F.lit(None).cast("string").alias("annotation"),
                 F.col("data").getItem("source_tag").alias("source_tag"),
+                F.lit(None).cast("string").alias("content_type"),
+                F.lit(None).cast("long").alias("content_length"),
             )
         )
         self._checkpoint()
@@ -1007,7 +1030,10 @@ class CrawlEngine:
         # (chain order: preselector -> preconditions -> quota -> fetchers,
         # profile-crawler-beans.cxml:321-328 + QuotaEnforcer placement) ------
         quotas_on = bool(cfg.quotas)
-        need_gate = cfg.robots == "obey" or cfg.dns == "obey" or quotas_on
+        auth_on = bool(cfg.auth_zones)
+        need_gate = (
+            cfg.robots == "obey" or cfg.dns == "obey" or quotas_on or auth_on
+        )
         if need_gate:
             emitted = emitted.withColumn(
                 "__is_dns", F.col("canonical").startswith("dns:")
@@ -1178,6 +1204,54 @@ class CrawlEngine:
                 )
                 .withColumn("__crawl_delay", crawl_delay)
             )
+            if auth_on:
+                # zone + store columns (config CASE chains — operators/
+                # auth.py) and URI-attached credential (the CrawlURI
+                # avatar, riding the data bag under a reserved key)
+                path_a = F.regexp_extract(
+                    "canonical", r"^[^:/?#]+://[^/?#]*(.*)$", 1
+                )
+                for name, colx in AUTH.zone_cols(
+                    F.col("__server"), path_a, cfg.auth_zones, cfg.credentials
+                ).items():
+                    emitted = emitted.withColumn(name, colx)
+                emitted = emitted.withColumn(
+                    "__attached_realm",
+                    F.col("data").getItem(AUTH.AUTH_DATA_KEY),
+                )
+                # server-promoted (every-time) credentials: like robots/dns
+                # the state table is never broadcast wholesale — semi-join
+                # pruned to the round's bounded server set first
+                if self.auth_t.exists():
+                    pr = (
+                        self.auth_t.read(self.spark)
+                        .select("server", "realm")
+                        .distinct()
+                    )
+                    pr = pr.join(
+                        F.broadcast(round_servers),
+                        pr["server"] == F.col("__srv"),
+                        "left_semi",
+                    ).select(
+                        F.col("server").alias("__pr_server"),
+                        F.col("realm").alias("__pr_realm"),
+                        F.lit(True).alias("__pr_hit"),
+                    )
+                    emitted = emitted.join(
+                        pr,
+                        (emitted["__server"] == F.col("__pr_server"))
+                        & (emitted["__zone_realm"] == F.col("__pr_realm")),
+                        "left",
+                    ).drop("__pr_server", "__pr_realm")
+                else:
+                    emitted = emitted.withColumn(
+                        "__pr_hit", F.lit(None).cast("boolean")
+                    )
+                emitted = emitted.withColumn(
+                    "__promoted_ok",
+                    F.coalesce(F.col("__pr_hit"), F.lit(False))
+                    & F.col("__store_matches"),
+                ).drop("__pr_hit")
         else:
             emitted = (
                 emitted.withColumn("__server", F.lit(""))
@@ -1194,7 +1268,14 @@ class CrawlEngine:
             )
 
         # --- fetch (synthetic: join against the web documents table) ----
-        web = self.web.select(F.col("doc_id"), F.col("spans"))
+        # an explicit content_type column on the web table is the synthetic
+        # analog of the server's Content-Type header (FetchHTTP); absent
+        # that, the type derives from path/extension (functions/mime.py)
+        web_has_ct = "content_type" in self.web.columns
+        web_cols = [F.col("doc_id"), F.col("spans")]
+        if web_has_ct:
+            web_cols.append(F.col("content_type").alias("__web_ct"))
+        web = self.web.select(*web_cols)
         fetched = emitted.join(web, emitted["canonical"] == web["doc_id"], "left")
         status = F.when(F.col("doc_id").isNotNull(), F.lit(200)).otherwise(F.lit(404))
         if self.overrides is not None:
@@ -1203,6 +1284,46 @@ class CrawlEngine:
             )
             fetched = fetched.join(ov, fetched["canonical"] == ov["__ov_canon"], "left")
             status = F.coalesce(F.col("__ov_status"), status)
+        if auth_on:
+            # 401 law (FetchHTTPRequest.populateTargetCredential +
+            # handle401): a zone-protected fetch answers 401 unless creds
+            # are presented — URI-attached (this row is the post-attach
+            # retry), server-promoted state, or promoted by an earlier
+            # attached success in THIS round's same-queue batch (the batch
+            # analog of the reference's serial promote-then-fetch-next;
+            # single window in insert-key order, auth-only cost)
+            attached_ok = F.coalesce(
+                (F.col("__attached_realm") == F.col("__zone_realm"))
+                & F.col("__store_matches"),
+                F.lit(False),
+            )
+            raw_2xx = (status >= 200) & (status < 300)
+            fetched = fetched.withColumn(
+                "__promotes",
+                F.coalesce(attached_ok & raw_2xx, F.lit(False)),
+            )
+            w_auth = (
+                Window.partitionBy("class_key")
+                .orderBy(*FR.insert_key_order())
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            intra_ok = (
+                F.coalesce(
+                    F.max(F.col("__promotes").cast("int")).over(w_auth),
+                    F.lit(0),
+                )
+                == 1
+            ) & F.col("__store_matches")
+            fetched = fetched.withColumn(
+                "__auth_ok",
+                attached_ok | F.col("__promoted_ok") | intra_ok,
+            )
+            status = F.when(
+                F.col("__zone_realm").isNotNull()
+                & ~F.col("__is_dns")
+                & ~F.col("__auth_ok"),
+                F.lit(AUTH.HTTP_UNAUTHORIZED),
+            ).otherwise(status)
         # deferred / robots-precluded URIs never reach the fetcher; dns:
         # lookups resolve synthetically (S_DNS_SUCCESS, FetchStatusCodes:113)
         status = F.coalesce(
@@ -1218,12 +1339,46 @@ class CrawlEngine:
             .withColumn("__no_fetch", F.col("__forced_status").isNotNull())
             .withColumn("fetch_duration", F.lit(cfg.fetch_duration_ms).cast("long"))
         )
+        # content-type model (CrawlURI.setContentType threading): NULL for
+        # never-fetched / payload-less rows; "text/dns" for dns lookups;
+        # else web-provided header analog -> extension -> text/html default
+        fetched = fetched.withColumn(
+            "content_type",
+            MIME.content_type_col(
+                F.col("canonical"),
+                F.col("doc_id").isNotNull()
+                & (F.col("fetch_status") >= 200)
+                & ~F.col("__no_fetch"),
+                F.col("__is_dns") & ~F.col("__no_fetch"),
+                web_ct=F.col("__web_ct") if web_has_ct else None,
+            ),
+        ).withColumn("content_bytes", self._content_size_col())
+        if web_has_ct:
+            fetched = fetched.drop("__web_ct")
 
         timer.mark("fetch-plan")
         # disposition law columns
+        creds_loaded = None
+        if auth_on:
+            # handle401 would attach a store credential: zone-protected,
+            # not already tried (attached), and the store has the realm.
+            # Already-attached 401s "die a natural 401 death" (detach is
+            # implicit — the failed row tombstones out of the frontier).
+            creds_loaded = (
+                F.col("__zone_realm").isNotNull()
+                & F.col("__attached_realm").isNull()
+                & F.col("__store_has")
+            )
         fetched = (
             fetched.withColumn("__attempts", F.col("fetch_attempts") + 1)
-            .withColumn("__retry", FR.needs_retry_col(F.col("fetch_status"), F.col("__attempts")))
+            .withColumn(
+                "__retry",
+                FR.needs_retry_col(
+                    F.col("fetch_status"),
+                    F.col("__attempts"),
+                    creds_loaded=creds_loaded,
+                ),
+            )
             .withColumn("__disregard", FR.is_disregarded_col(F.col("fetch_status")))
             .withColumn("__success", FR.is_success_col(F.col("fetch_status")))
             .withColumn(
@@ -1290,6 +1445,8 @@ class CrawlEngine:
             "is_seed",
             annotation.alias("annotation"),
             F.col("data").getItem("source_tag").alias("source_tag"),
+            "content_type",
+            F.col("content_bytes").alias("content_length"),
         )
 
         # --- documents sink (WARC analog): span payload + content digest ---
@@ -1303,6 +1460,7 @@ class CrawlEngine:
                 "spans",
                 F.sha1(F.to_json("spans")).alias("content_digest"),
                 F.lit(self.round).alias("fetch_round"),
+                "content_type",
             )
         )
         timer.mark("documents-append")
@@ -1311,12 +1469,26 @@ class CrawlEngine:
         page_ok = (F.col("fetch_status") >= 200) & (F.col("fetch_status") < 400)
         if cfg.process_error_outlinks:
             # error responses are real fetches (never the gate's synthetic
-            # forced statuses), so >=100 & ~no_fetch bounds them
+            # forced statuses), so >=100 & ~no_fetch bounds them; a
+            # 401-with-creds RETRY is not finished — its final visit
+            # extracts (simulator-parity law)
             page_ok = page_ok | (
-                (F.col("fetch_status") >= 100) & ~F.col("__no_fetch")
+                (F.col("fetch_status") >= 100)
+                & ~F.col("__no_fetch")
+                & ~F.col("__retry")
             )
         if cfg.trap_suppress:
             page_ok = page_ok & ~F.coalesce(F.col("__trap"), F.lit(False))
+        span_src = F.col("spans")
+        if cfg.mime_extract_gate:
+            # ExtractorHTML.shouldExtract mime gate (ExtractorHTML.java:
+            # 777-790): non-HTML pages yield no content-derived outlinks.
+            # Redirect 'location' spans survive — they model ExtractorHTTP
+            # (header-based), which the reference never mime-gates.
+            span_src = F.when(
+                MIME.html_extract_gate_col(F.col("content_type")),
+                F.col("spans"),
+            ).otherwise(F.filter("spans", lambda s: s["kind"] == "location"))
         pages = fetched.filter(page_ok).select(
             F.col("canonical").alias("page"),
             F.col("uri").alias("parent_uri"),
@@ -1324,7 +1496,7 @@ class CrawlEngine:
             F.col("ordinal").alias("parent_ordinal"),
             F.col("is_seed").alias("parent_is_seed"),
             F.col("data").alias("parent_data"),
-            "spans",
+            span_src.alias("spans"),
         )
         outlinks = extract_outlinks_from_spans(pages, doc_id="page", spans="spans").join(
             pages.drop("spans"), F.col("doc_id") == F.col("page")
@@ -1509,11 +1681,20 @@ class CrawlEngine:
         novel = self.urlseen.filter_novel(first).unionByName(forced)
         novel = self._assign_ordinals(novel, ["parent_ordinal", "outlink_index"])
         timer.mark("ordinal-assign")
+        cand_data = F.col("data")
+        if auth_on:
+            # credentials are NOT heritable: children/prerequisites never
+            # inherit the parent's attached-realm key (the reference keeps
+            # credential avatars outside the heritable data bag)
+            cand_data = F.when(
+                F.col("data").isNotNull(),
+                F.map_filter("data", lambda k, _v: k != AUTH.AUTH_DATA_KEY),
+            )
         novel_rows = novel.select(
             "uri", "canonical", "fp", "class_key", "is_seed",
             "hops_path", "via", "via_context", "sched_directive", "precedence",
             "cost", "ordinal", F.lit(0).alias("fetch_attempts"), "force_fetch",
-            "data",
+            cand_data.alias("data"),
         ).localCheckpoint()
         # forced rows are rare and round-bounded: collect them (tiny) to
         # drive the exact-path seen insert + the addSeed scope announce
@@ -1535,6 +1716,8 @@ class CrawlEngine:
                     "is_seed",
                     F.lit(None).cast("string").alias("annotation"),
                     F.col("data").getItem("source_tag").alias("source_tag"),
+                    F.lit(None).cast("string").alias("content_type"),
+                    F.lit(None).cast("long").alias("content_length"),
                 )
             )
         )
@@ -1596,6 +1779,8 @@ class CrawlEngine:
                         "is_seed",
                         F.lit(None).cast("string").alias("annotation"),
                         F.col("data").getItem("source_tag").alias("source_tag"),
+                        F.lit(None).cast("string").alias("content_type"),
+                        F.lit(None).cast("long").alias("content_length"),
                     )
                 )
 
@@ -1608,12 +1793,29 @@ class CrawlEngine:
         # fresh globally-unique ordinals so they ride the insert fast path.
         # The unemitted remainder is never rewritten — that was the
         # O(table)-per-round copy-on-write cost this scheme removes.
+        retry_data = F.col("data")
+        if auth_on:
+            # handle401 attach: the 401-retry re-enters the frontier
+            # carrying the credential realm (CrawlURI avatar analog)
+            retry_data = F.when(
+                F.col("fetch_status") == AUTH.HTTP_UNAUTHORIZED,
+                F.map_concat(
+                    F.coalesce(
+                        F.col("data"),
+                        F.create_map().cast("map<string,string>"),
+                    ),
+                    F.create_map(
+                        F.lit(AUTH.AUTH_DATA_KEY), F.col("__zone_realm")
+                    ),
+                ),
+            ).otherwise(F.col("data"))
         retries = (
             fetched.filter(F.col("__retry"))
             .select(
                 "uri", "canonical", "fp", "class_key", "is_seed", "hops_path", "via",
                 "via_context", "sched_directive", "precedence", "cost", "ordinal",
-                F.col("__attempts").alias("fetch_attempts"), "force_fetch", "data",
+                F.col("__attempts").alias("fetch_attempts"), "force_fetch",
+                retry_data.alias("data"),
             )
         )
         # forceRetire'd over-quota URIs re-queue undisposed, attempts intact
@@ -1713,6 +1915,25 @@ class CrawlEngine:
                 self.robots_t.maybe_compact(self.spark, every=self.COMPACT_EVERY)
             else:
                 self.robots_t.overwrite(rb_new)
+
+        # promoteCredentials (FetchHTTP.java:766-817): a 2xx whose creds
+        # came from the URI promotes them to the server — every later
+        # fetch on that server presents them preemptively
+        if auth_on:
+            promoted_new = (
+                fetched.filter(
+                    (F.col("fetch_status") >= 200)
+                    & (F.col("fetch_status") < 300)
+                    & F.col("__attached_realm").isNotNull()
+                )
+                .select(
+                    F.col("__server").alias("server"),
+                    F.col("__attached_realm").alias("realm"),
+                )
+                .distinct()
+            )
+            if promoted_new.count():
+                self.auth_t.append(promoted_new)
 
         # queue clock law (WorkQueueFrontier.processFinish :947-1029):
         # deferred/precluded never fetched -> no advance; retried fetches
@@ -1874,7 +2095,10 @@ class CrawlEngine:
         # of one dir per append; O(recent) I/O, amortized O(1)/round, and
         # folded dirs are never re-folded (no O(table) rewrite creep).
         # quota_stats has its own aggregate-fold in _update_quota_stats.
-        for t in (self.events_t, self.documents_t, self.metrics_t, self.digest_t):
+        for t in (
+            self.events_t, self.documents_t, self.metrics_t, self.digest_t,
+            self.auth_t,
+        ):
             t.fold_tail(self.spark, every=self.COMPACT_EVERY)
         for df in self._round_caches:
             df.unpersist()
@@ -1937,10 +2161,17 @@ class CrawlEngine:
             "source_tags": ST.source_tags_report(
                 log.withColumn("host", F.col("class_key"))
             ),
+            # real Content-Type threading (StatisticsTracker.java:746-757:
+            # mime + bytes tallied per successfully-crawled URI through
+            # MimetypeUtils.truncate)
             "mimetypes": ST.mimetypes_report(
-                self.documents().select(
-                    F.lit("text/html").alias("content_type"),
-                    F.length(F.to_json("spans")).alias("content_length"),
+                log.filter(F.col("disposition") == "success").select(
+                    MIME.mime_truncate_col(F.col("content_type")).alias(
+                        "content_type"
+                    ),
+                    F.coalesce(F.col("content_length"), F.lit(0)).alias(
+                        "content_length"
+                    ),
                 )
             ),
         }
@@ -2026,6 +2257,7 @@ class CrawlEngine:
                 "futures": self.futures_t.latest_version(),
                 "quota_stats": self.quota_t.latest_version(),
                 "digest_seen": self.digest_t.latest_version(),
+                "auth_state": self.auth_t.latest_version(),
                 "seed_prefixes": self.seed_prefix_t.latest_version(),
             },
             state={

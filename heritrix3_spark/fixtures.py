@@ -122,6 +122,78 @@ def synth_web_df(
     return df
 
 
+MIXED_CT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(SPAN_TYPE), False),
+        StructField("content_type", StringType(), True),
+    ]
+)
+
+
+def mixed_type_web_rows(hosts: int, pages: int) -> list[tuple]:
+    """Mixed-content-type web for the ExtractorHTML mime-gate fixtures:
+    each html page links to typed resources (.pdf/.css/.png) that THEMSELVES
+    carry outlink spans. With ``mime_extract_gate`` on, only the pdf's
+    ``location`` (redirect-header analog) span is followed; the "leak"
+    links from non-html payloads are suppressed (ExtractorHTML.java:763-790)."""
+    rows = []
+    for i in range(hosts):
+        for j in range(pages):
+            rows.append(
+                (
+                    page_url(i, j),
+                    [
+                        ("text", f"host {i} page {j}", None, 0),
+                        ("link", f"next-{j}", f"/p{(j + 1) % pages}", 1),
+                        ("link", f"doc-{j}", f"/doc{j}.pdf", 2),
+                        ("link", f"style-{j}", f"/style{j}.css", 3),
+                        ("img", None, f"/img{j}.png", 4),
+                    ],
+                )
+            )
+            rows.append(
+                (
+                    f"http://h{i}.example/doc{j}.pdf",
+                    [
+                        ("text", "%PDF-1.4 1 0 obj", None, 0),
+                        ("link", "leak", f"/pdf-leak{j}", 1),
+                        ("location", None, f"/pdf-moved{j}", 2),
+                    ],
+                )
+            )
+            rows.append(
+                (
+                    f"http://h{i}.example/style{j}.css",
+                    [
+                        ("text", "body{color:#000}", None, 0),
+                        ("css", None, f"/css-leak{j}.png", 1),
+                    ],
+                )
+            )
+            rows.append(
+                (
+                    f"http://h{i}.example/img{j}.png",
+                    [("media", None, f"/png-leak{j}", 0)],
+                )
+            )
+    return rows
+
+
+def mixed_type_web_df(
+    spark: SparkSession,
+    hosts: int,
+    pages: int,
+    content_types: dict[str, str] | None = None,
+) -> DataFrame:
+    """The mixed-type web as a documents table, optionally with an explicit
+    ``content_type`` column (the server Content-Type header analog; NULL
+    rows fall back to the extension law in functions/mime.py)."""
+    ct = content_types or {}
+    rows = [(u, s, ct.get(u)) for u, s in mixed_type_web_rows(hosts, pages)]
+    return spark.createDataFrame(rows, MIXED_CT_SCHEMA)
+
+
 def redirect_web_rows(hosts: int, pages: int) -> list[tuple]:
     """The synthetic web fronted by per-host redirectors: seed
     ``redir{i}.example/p0`` 301-redirects (a ``location`` span, hop R) to

@@ -56,6 +56,7 @@ S_BLOCKED_BY_QUOTA = -5003
 S_DELETED_BY_USER = -6000
 S_ROBOTS_PRECLUDED = -9998
 S_DNS_SUCCESS = 1
+HTTP_UNAUTHORIZED = 401
 
 #: statuses that make isDisregarded true (AbstractFrontier.java:1069-1082)
 DISREGARD_STATUSES = (
@@ -295,10 +296,21 @@ def is_disregarded_col(fetch_status: Column) -> Column:
 
 
 def needs_retry_col(
-    fetch_status: Column, fetch_attempts: Column, max_retries: int = DEFAULT_MAX_RETRIES
+    fetch_status: Column,
+    fetch_attempts: Column,
+    max_retries: int = DEFAULT_MAX_RETRIES,
+    creds_loaded: Column | None = None,
 ) -> Column:
-    """needsReenqueuing under defaults (no auth creds, no retire directive)."""
-    return (fetch_attempts < max_retries) & fetch_status.isin(*RETRY_STATUSES)
+    """needsReenqueuing (AbstractFrontier.java:1093-1126): connect/DNS
+    failures and deferrals retry; a 401 retries iff an rfc2617 credential
+    was loaded onto the URI by handle401 (``creds_loaded``; None = the
+    no-credential-store default, where a 401 is a terminal failure)."""
+    retryable = fetch_status.isin(*RETRY_STATUSES)
+    if creds_loaded is not None:
+        retryable = retryable | (
+            (fetch_status == HTTP_UNAUTHORIZED) & creds_loaded
+        )
+    return (fetch_attempts < max_retries) & retryable
 
 
 def retry_delay_col(fetch_status: Column, retry_delay_ms: int = DEFAULT_RETRY_DELAY_MS) -> Column:

@@ -102,6 +102,14 @@ class SimConfig:
     # maxPerHostBandwidthUsageKbSec (DispositionProcessor.java:275-291);
     # 0 = off. Law shared with CrawlConfig.max_per_host_bandwidth_kb.
     max_per_host_bandwidth_kb: int = 0
+    # ExtractorHTML.shouldExtract mime gate — law shared with
+    # CrawlConfig.mime_extract_gate (functions/mime.py)
+    mime_extract_gate: bool = False
+    # HTTP auth — laws shared with CrawlConfig.auth_zones/credentials
+    # (operators/auth.py: zone 401s, handle401 attach, needsReenqueuing,
+    # promoteCredentials with round-batch visibility)
+    auth_zones: tuple = ()
+    credentials: tuple = ()
 
 
 @dataclass
@@ -186,17 +194,24 @@ def simulate(
     seed_lines: list[str],
     config: SimConfig | None = None,
     status_overrides: dict[str, int] | None = None,
+    web_ct: dict[str, str] | None = None,
 ):
     """Run the golden crawl.
 
     ``web``: {url: [(kind, text, media_ref, offset), ...]}.
     ``status_overrides``: canonical -> fetch status (e.g. 301 redirects).
+    ``web_ct``: canonical -> explicit Content-Type (the server-header
+    analog; absent entries derive from path/extension, functions/mime.py).
     Returns (log, seen_fps): log rows are dicts with round/class_key/uri/
-    canonical/ordinal/disposition/fetch_status.
+    canonical/ordinal/disposition/fetch_status/content_type/content_length.
     """
     import re as _re
 
+    from heritrix3_spark.functions import mime as _mime
+    from heritrix3_spark.operators import auth as _auth
+
     cfg = config or SimConfig()
+    web_ct = web_ct or {}
     overrides = status_overrides or {}
     queues: dict[str, Queue] = {}
     seen: set[int] = set()
@@ -244,8 +259,11 @@ def simulate(
     def schedule(uri, hops_path, via, is_seed, directive, force=False, data=None):
         """schedule->add (or addForce when ``force``): returns True when
         the URI entered the frontier. ``data`` is the inherited heritable
-        bag (CrawlURI.inheritFrom)."""
+        bag (CrawlURI.inheritFrom) — minus the attached-credential key
+        (credentials are not heritable)."""
         nonlocal next_ordinal
+        if data and _auth.AUTH_DATA_KEY in data:
+            data = {k: v for k, v in data.items() if k != _auth.AUTH_DATA_KEY}
         canonical = canonicalize(uri)
         fp = create_key(canonical)
         if fp in seen and not force:
@@ -311,6 +329,8 @@ def simulate(
     }
     quota_stats: dict[tuple[str, str], dict[str, int]] = {}
     digests_seen: set = set()
+    # server-promoted credentials (promoteCredentials): (server, realm)
+    auth_promoted: set = set()
     # documents-sink analog for TrapSuppressExtractor: canonical -> latest
     # archived payload (content tuple)
     archived: dict[str, tuple] = {}
@@ -379,11 +399,13 @@ def simulate(
 
             quota_snapshot = _copy.deepcopy(quota_stats)
         round_fetches = []  # (ordinal, server, class_key, status, content, size)
+        round_promotions: set = set()  # lands in auth_promoted at round end
         retire_marks: set[str] = set()
         candidates = []  # (parent_ordinal, outlink_index, url, hops, via)
         for ck in sorted(eligible):
             q = eligible[ck]
             q.pending.sort(key=_sort_key)
+            promo_batch: set = set()  # same-queue round-batch promotions
             # session budget (expenditureAtLastActivation law): emit while
             # rank <= k AND the spend of earlier emits <= sessionBudget
             k = overlay(ck, "k_per_host", cfg.k_per_host)
@@ -460,7 +482,8 @@ def simulate(
                         dict(round=rnd, class_key=ck, uri=curi.uri,
                              canonical=curi.canonical, ordinal=curi.ordinal,
                              fetch_status=-50, disposition=disposition,
-                             source_tag=(curi.data or {}).get("source_tag"))
+                             source_tag=(curi.data or {}).get("source_tag"),
+                             content_type=None, content_length=0)
                     )
                     continue
                 if forced == -9998:
@@ -470,7 +493,8 @@ def simulate(
                         dict(round=rnd, class_key=ck, uri=curi.uri,
                              canonical=curi.canonical, ordinal=curi.ordinal,
                              fetch_status=-9998, disposition="disregard",
-                             source_tag=(curi.data or {}).get("source_tag"))
+                             source_tag=(curi.data or {}).get("source_tag"),
+                             content_type=None, content_length=0)
                     )
                     continue
                 # QuotaEnforcer gate (after preconditions, before fetch —
@@ -490,7 +514,8 @@ def simulate(
                                      canonical=curi.canonical,
                                      ordinal=curi.ordinal,
                                      fetch_status=-5003, disposition="fail",
-                                     source_tag=(curi.data or {}).get("source_tag"))
+                                     source_tag=(curi.data or {}).get("source_tag"),
+                                     content_type=None, content_length=0)
                             )
                         continue
                 if is_dns:
@@ -499,6 +524,75 @@ def simulate(
                     status = overrides.get(
                         curi.canonical, 200 if curi.canonical in web else 404
                     )
+                # --- HTTP auth 401 law (operators/auth.py; engine parity:
+                # same-queue earlier-batch promotions are visible, other
+                # queues' promotions land at round end) -------------------
+                auth_zone = None
+                attached = None
+                disposition = "success"
+                auth_retry = False
+                if cfg.auth_zones and not is_dns:
+                    auth_zone = _auth.zone_for(
+                        server, path_q or "", cfg.auth_zones
+                    )
+                if auth_zone is not None:
+                    store_has, store_ok = _auth.store_flags(
+                        auth_zone, cfg.credentials
+                    )
+                    attached = (curi.data or {}).get(_auth.AUTH_DATA_KEY)
+                    attached_ok = attached == auth_zone[2] and store_ok
+                    promoted_ok = store_ok and (
+                        (server, auth_zone[2]) in auth_promoted
+                        or (server, auth_zone[2]) in promo_batch
+                    )
+                    if not (attached_ok or promoted_ok):
+                        status = 401
+                        # needsReenqueuing: retry iff handle401 attaches
+                        # (store has the realm, not already tried). A 401
+                        # WITHOUT loaded creds is isSuccess()==true — it
+                        # disposes like any 404 (CrawlURI.java:868-876)
+                        if (
+                            attached is None
+                            and store_has
+                            and curi.fetch_attempts + 1 < cfg.max_retries
+                        ):
+                            disposition = "retry"
+                            auth_retry = True
+                if auth_retry:
+                    # handle401 attach + requeue: real fetch (charged) but
+                    # the retry branch snoozes retryDelayFor(401)=0, not
+                    # politeness — no host-clock advance
+                    curi.fetch_attempts += 1
+                    d = dict(curi.data) if curi.data else {}
+                    d[_auth.AUTH_DATA_KEY] = auth_zone[2]
+                    curi.data = d
+                    requeue.append(curi)
+                    q.total_expenditure += curi.cost
+                    log.append(
+                        dict(round=rnd, class_key=ck, uri=curi.uri,
+                             canonical=curi.canonical, ordinal=curi.ordinal,
+                             fetch_status=401, disposition="retry",
+                             source_tag=(curi.data or {}).get("source_tag"),
+                             content_type=_mime.content_type(
+                                 curi.canonical,
+                                 curi.canonical in web,
+                                 False,
+                                 web_ct.get(curi.canonical),
+                             ),
+                             content_length=0)
+                    )
+                    if cfg.robots == "obey" and is_robots and server is not None:
+                        # non-2xx robots -> NO_ROBOTS allow-all (engine
+                        # upserts the 401 body "" the same way)
+                        robots_state[server] = (Robotstxt(""), T)
+                    continue
+                if attached is not None and status == 401 and curi.data:
+                    # tried-and-failed: detach, die a natural 401 death
+                    # (isSuccess true once the credential is removed)
+                    curi.data = {
+                        k: v for k, v in curi.data.items()
+                        if k != _auth.AUTH_DATA_KEY
+                    }
                 duration = cfg.fetch_duration_ms
                 delay = int(cfg.delay_factor * duration)
                 delay = max(delay, cfg.min_delay_ms)
@@ -529,7 +623,30 @@ def simulate(
                     )
                     bw_next = c + int(nbytes / (cfg.max_per_host_bandwidth_kb * 1.024))
                 t_host += duration + delay
-                q.total_expenditure += curi.cost
+                q.total_expenditure += curi.cost + (
+                    cfg.error_penalty if disposition == "fail" else 0
+                )
+                if 200 <= status < 300 and attached is not None:
+                    # promoteCredentials: visible to later fetches in THIS
+                    # queue's batch now, to everyone from next round
+                    promo_batch.add((server, attached))
+                    round_promotions.add((server, attached))
+                # content-type model (CrawlURI.setContentType analog; law
+                # shared with the engine via functions/mime.py scalars)
+                ct = _mime.content_type(
+                    curi.canonical,
+                    has_payload=(curi.canonical in web and status >= 200),
+                    is_dns=is_dns,
+                    web_ct=web_ct.get(curi.canonical),
+                )
+                ct_size = (
+                    sum(
+                        len(t or "") + len(r or "")
+                        for k, t, r, o in web.get(curi.canonical, [])
+                    )
+                    if 200 <= status < 300
+                    else 0
+                )
                 row = dict(
                     round=rnd,
                     class_key=ck,
@@ -537,8 +654,10 @@ def simulate(
                     canonical=curi.canonical,
                     ordinal=curi.ordinal,
                     fetch_status=status,
-                    disposition="success",
+                    disposition=disposition,
                     source_tag=(curi.data or {}).get("source_tag"),
+                    content_type=ct,
+                    content_length=ct_size,
                 )
                 log.append(row)
                 if (quotas or cfg.digest_history) and not is_dns:
@@ -569,7 +688,7 @@ def simulate(
                 # at round_start + interval (prereq detection only exists
                 # when the precondition gate runs — engine parity)
                 gate_active = cfg.robots == "obey" or cfg.dns == "obey"
-                if cfg.recrawl_interval_ms >= 0 and not (
+                if cfg.recrawl_interval_ms >= 0 and disposition == "success" and not (
                     gate_active and (is_dns or is_robots)
                 ):
                     from dataclasses import replace as _replace
@@ -606,7 +725,13 @@ def simulate(
                     cfg.process_error_outlinks and status >= 100
                 )
                 if extract_ok and not trap:
-                    for kind, text, ref, offset in web.get(curi.canonical, []):
+                    # ExtractorHTML.shouldExtract mime gate: on non-HTML
+                    # pages only 'location' (ExtractorHTTP header) spans
+                    # survive — law shared with CrawlConfig.mime_extract_gate
+                    spans_src = web.get(curi.canonical, [])
+                    if cfg.mime_extract_gate and not _mime.html_extract_gate(ct):
+                        spans_src = [s for s in spans_src if s[0] == "location"]
+                    for kind, text, ref, offset in spans_src:
                         if kind not in ("link", "img", "script", "css", "media", "location"):
                             continue
                         if ref is None or ref.startswith("data:"):
@@ -633,7 +758,9 @@ def simulate(
                             looks_like_xml,
                         )
 
-                        spans_here = web.get(curi.canonical, [])
+                        # the engine's gate filters pages.spans, which also
+                        # feeds the text chain: body + index base shrink
+                        spans_here = spans_src
                         body = "\n".join(
                             t for k, t, r, o in spans_here
                             if k == "text" and t is not None
@@ -679,12 +806,16 @@ def simulate(
         # in-round then cross-round — matches the engine's window law)
         for rk in retire_marks:
             queues[rk].retired = True
+        auth_promoted |= round_promotions
         if quotas or cfg.digest_history:
             for ordinal, server, ck2, status, content, size, row in sorted(
                 round_fetches, key=lambda r: r[0]
             ):
+                is_succ = row["disposition"] == "success"
                 if content is None or size == 0:
-                    novel = True
+                    # payload-less: novel only for successes (engine
+                    # FetchStats law: novelty is a success-side split)
+                    novel = is_succ
                 elif content in digests_seen:
                     novel = False
                 else:
@@ -709,10 +840,11 @@ def simulate(
                         dict(successes=0, responses=0, success_bytes=0,
                              all_bytes=0, novel_bytes=0, novel_urls=0),
                     )
-                    st["successes"] += 1
-                    st["responses"] += 1
-                    st["success_bytes"] += size
-                    st["all_bytes"] += size
+                    counts_resp = is_succ or status > 0
+                    st["successes"] += 1 if is_succ else 0
+                    st["responses"] += 1 if counts_resp else 0
+                    st["success_bytes"] += size if is_succ else 0
+                    st["all_bytes"] += size if counts_resp else 0
                     if novel:
                         st["novel_bytes"] += size
                         st["novel_urls"] += 1
