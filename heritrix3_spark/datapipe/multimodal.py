@@ -2,15 +2,18 @@
 
 Media (image/audio/video) rides as ``binary`` columns with a typed metadata
 struct. The Spark-side plumbing — schema, partition sizing, mapInPandas
-batch shape, feature-vector schema — is real and tested; the actual codec
-work is STUBBED (this container has no image/audio libraries):
+batch shape, feature-vector schema — is real and tested. The decode stage
+(:func:`decode_media`) REALLY decodes the formats the Python stdlib can
+parse — BMP and binary PPM/PGM images (header + dimensions), PCM WAV audio
+(``wave`` module: duration) — filling width/height/duration_ms from the
+actual payload. Codecs the stdlib lacks (JPEG/PNG/GIF pixels, MP4) remain
+an honest ``NotImplementedError`` integration point under ``strict=True``
+(plug PIL/ffmpeg there on a production cluster); ``strict=False`` passes
+them through undecoded.
 
-* :func:`decode_media_udf` raises ``NotImplementedError`` by design when
-  ``strict=True`` — the marked integration point for a real decoder
-  (PIL/ffmpeg) on a production cluster;
-* :func:`fake_feature_extract` is the deterministic stand-in used by tests
-  and benchmarks: a hash-derived fixed-length float vector with exactly the
-  batch shape a real extractor would produce.
+:func:`fake_feature_extract` is the deterministic stand-in feature
+extractor used by tests and benchmarks: a hash-derived fixed-length float
+vector with exactly the batch shape a real extractor would produce.
 """
 
 from __future__ import annotations
@@ -73,21 +76,158 @@ def synth_media_df(spark, n: int = 100, partitions: int = 4) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions)
 
 
+# --- stdlib decoders (the REAL decode path for formats Python can parse) --
+def _decode_bmp(b: bytes) -> tuple[int, int] | None:
+    """BMP header parse: (width, height). BITMAPINFOHEADER (>=40 bytes,
+    signed dims — negative height = top-down) or BITMAPCOREHEADER (12)."""
+    if len(b) < 26 or b[:2] != b"BM":
+        return None
+    hdr = int.from_bytes(b[14:18], "little")
+    if hdr >= 40:
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return (abs(w), abs(h))
+    if hdr == 12 and len(b) >= 22:
+        return (
+            int.from_bytes(b[18:20], "little"),
+            int.from_bytes(b[20:22], "little"),
+        )
+    return None
+
+
+def _decode_pnm(b: bytes) -> tuple[int, int] | None:
+    """Binary PPM/PGM (P6/P5): whitespace/comment-tolerant header parse."""
+    if b[:2] not in (b"P5", b"P6"):
+        return None
+    toks: list[int] = []
+    i = 2
+    n = len(b)
+    while len(toks) < 2 and i < n:
+        c = b[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < n and b[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and b[j : j + 1].isdigit():
+                j += 1
+            toks.append(int(b[i:j]))
+            i = j
+        else:
+            return None
+    return (toks[0], toks[1]) if len(toks) == 2 else None
+
+
+def _decode_wav(b: bytes) -> int | None:
+    """PCM WAV via the stdlib ``wave`` module: duration in ms."""
+    import io
+    import wave as _wave
+
+    if b[:4] != b"RIFF":
+        return None
+    try:
+        with _wave.open(io.BytesIO(b)) as w:
+            fr = w.getframerate()
+            return int(w.getnframes() * 1000 / fr) if fr else None
+    except (_wave.Error, EOFError):
+        return None
+
+
 def decode_media(df: DataFrame, strict: bool = True) -> DataFrame:
-    """Decode stage. ``strict=True`` marks the unimplemented codec boundary:
-    the mapInPandas plumbing (schema in/out, batching) is the real
-    production shape; only the inner decode call is stubbed."""
+    """Decode stage over the mapInPandas batch shape: payloads the stdlib
+    can parse (BMP, P5/P6 PNM, PCM WAV) get their width/height/duration_ms
+    REPLACED by values read from the actual bytes. Anything else is the
+    codec integration point: ``strict=True`` raises NotImplementedError
+    (plug PIL/ffmpeg there); ``strict=False`` passes rows through with
+    their metadata untouched."""
 
     def run(pdf_iter):
         for pdf in pdf_iter:
-            if strict:
-                raise NotImplementedError(
-                    "media decode requires image/audio codecs not present in "
-                    "this environment; plug a real decoder here"
-                )
-            yield pdf
+            widths, heights, durs = [], [], []
+            for payload, w0, h0, d0 in zip(
+                pdf["payload"], pdf["width"], pdf["height"], pdf["duration_ms"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                dims = _decode_bmp(b) or _decode_pnm(b)
+                if dims is not None:
+                    widths.append(dims[0])
+                    heights.append(dims[1])
+                    durs.append(d0)
+                    continue
+                dur = _decode_wav(b)
+                if dur is not None:
+                    widths.append(w0)
+                    heights.append(h0)
+                    durs.append(dur)
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "no stdlib codec for this payload (jpeg/png/gif/mp4 "
+                        "need PIL/ffmpeg) — plug a real decoder here"
+                    )
+                widths.append(w0)
+                heights.append(h0)
+                durs.append(d0)
+            out = pdf.copy()
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["duration_ms"] = pd.array(durs, dtype="Int64")
+            yield out
 
     return df.mapInPandas(run, schema=df.schema)
+
+
+# --- deterministic real-format fixture builders (tests + gates) -----------
+def make_bmp(width: int, height: int) -> bytes:
+    """Minimal 24-bit BI_RGB BMP with a deterministic pixel ramp."""
+    row = bytearray()
+    for x in range(width):
+        row += bytes(((x * 3) % 256, (x * 5) % 256, (x * 7) % 256))
+    pad = (-len(row)) % 4
+    pixels = (bytes(row) + b"\x00" * pad) * height
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    off = 14 + len(info)
+    hdr = b"BM" + (off + len(pixels)).to_bytes(4, "little") + b"\x00" * 4 + off.to_bytes(4, "little")
+    return hdr + info + pixels
+
+
+def make_ppm(width: int, height: int) -> bytes:
+    """Binary P6 PPM with a comment line (exercises the tolerant parse)."""
+    px = bytes((i % 256 for i in range(width * height * 3)))
+    return b"P6\n# fixture\n%d %d\n255\n" % (width, height) + px
+
+
+def make_wav(duration_ms: int, framerate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV of the given duration (stdlib wave writer)."""
+    import io
+    import wave as _wave
+
+    n = framerate * duration_ms // 1000
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(
+            b"".join(
+                (int(1000 * ((i * 37) % 64 - 32) / 32)).to_bytes(
+                    2, "little", signed=True
+                )
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
 
 
 def fake_feature_extract(df: DataFrame) -> DataFrame:

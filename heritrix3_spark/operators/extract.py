@@ -239,10 +239,13 @@ def _extract_html_one(
     extract_only_form_gets: bool = True,
     extract_javascript: bool = True,
     extract_value_attributes: bool = True,
+    aggressive: bool = False,
 ) -> list[tuple]:
     """One document through the ExtractorHTML scan. Returns
     (absolute_url, context, hop) tuples in document order. Option defaults
-    mirror ExtractorHTML.java:244-315."""
+    mirror ExtractorHTML.java:244-315. ``aggressive`` is the
+    AggressiveExtractorHTML subclass (AggressiveExtractorHTML.java:43-50):
+    script bodies are additionally re-scanned as HTML tag innards."""
     if not html:
         return []
     import html as _htmlmod
@@ -261,6 +264,26 @@ def _extract_html_one(
         if extract_javascript:
             for url, ctx, hop in _extract_js_one(code):
                 out.append((_py_resolve(cur_base, _speculative_fixup(url, cur_base)), ctx, hop))
+
+    def set_base(val):
+        nonlocal cur_base, base_set
+        if not base_set:
+            cur_base = _py_resolve(base, val)
+            base_set = True
+
+    def process_general_tag(element, innards):
+        _process_general_tag_impl(
+            element,
+            innards,
+            add=add,
+            add_js_strings=add_js_strings,
+            set_base=set_base,
+            base_state=lambda: cur_base,
+            frames_as_embeds=frames_as_embeds,
+            ignore_form_actions=ignore_form_actions,
+            extract_only_form_gets=extract_only_form_gets,
+            extract_value_attributes=extract_value_attributes,
+        )
 
     for tag_m in _RE_TAG.finditer(html):
         if len(out) >= MAX_OUTLINKS:
@@ -304,116 +327,142 @@ def _extract_html_one(
                 add(content, "meta", "X")
             continue
 
-        # processGeneralTag (:380-590)
-        codebase = None
-        resources: list[str] = []
-        action = action_ctx = method = None
-        value_val = value_ctx = name_val = None
-        link_href = link_rel = None
-        for a in _RE_EACH_ATTR.finditer(innards):
-            val = _htmlmod.unescape(a.group(14) or a.group(15) or a.group(16) or "")
-            attr = a.group(1).lower()
-            ctx = f"{element}/@{attr}"
-            if a.group(2):  # HREF
-                if element == "link":
-                    link_href = val
-                elif val.lower().startswith("javascript:"):
-                    add_js_strings(val[len("javascript:"):])
-                else:
-                    add(val, ctx, "L")
-                if element == "base" and not base_set:
-                    cur_base = _py_resolve(base, val)
-                    base_set = True
-            elif a.group(3):  # ACTION — finished after METHOD is known
-                if not ignore_form_actions:
-                    action, action_ctx = val, ctx
-            elif a.group(4):  # ON* script handler
-                add_js_strings(val)
-            elif a.group(5):  # SRC family
-                hop = (
-                    "L"
-                    if not frames_as_embeds and element in ("frame", "iframe")
-                    else "E"
-                )
-                if (element, attr) in _SRCSET_CONTEXTS:
-                    for u in _srcset_urls(val):
-                        add(u, ctx, hop)
-                else:
-                    add(val, ctx, hop)
-            elif a.group(6):  # CODEBASE
-                codebase = val
-                add(val, ctx, "L")
-            elif a.group(7):  # CLASSID / DATA
-                resources.append(val)
-            elif a.group(8):  # ARCHIVE — space-delimited URI list
-                resources.extend(val.split())
-            elif a.group(9):  # CODE (+ .class for applets)
-                if element == "applet" and not val.lower().endswith(".class"):
-                    val += ".class"
-                resources.append(val)
-            elif a.group(10):  # VALUE — finished after NAME is known
-                value_val, value_ctx = val, ctx
-            elif a.group(11):  # inline STYLE: CSS url() scan
-                for u, cctx, hop in _extract_css_one(val):
-                    add(u, cctx, hop)
-            elif a.group(12):  # METHOD
-                method = val
-            elif a.group(13):
-                if attr == "name":
-                    name_val = val
-                elif attr == "rel":
-                    link_rel = val
-                elif attr == "flashvars":
-                    for kv in val.split("&"):
-                        v = kv.split("=", 1)[-1]
-                        if _is_very_likely_uri(v):
-                            add(v, ctx, "X")
-        # codebase-relative resources (processGeneralTag :548-576)
-        cb = _py_resolve(cur_base, codebase) if codebase else cur_base
-        for res in resources:
-            add(res, element, "E", resolve_base=cb)
-        # LINK tag needs both HREF and REL (processLinkTagWithRel :609-637)
-        if link_href is not None and link_rel is not None:
-            nav = False
-            for kw in re.split(r"[ \t\n\f\r]+", link_rel):
-                lt = kw.lower()
-                if lt in _REL_EMBED:
-                    add(link_href, f"link[rel='{lt}']/@href", "E")
-                    nav = False
-                    break
-                if lt == "pingback":
-                    nav = False
-                    break
-                if lt in _REL_IGNORE:
-                    continue
-                nav = True
-            if nav:
-                add(link_href, "link/@href", "L")
-        # FORM action: only GETs by default (HER-1280, :583-589)
-        if action is not None:
-            if (
-                method is None
-                or method.upper() == "GET"
-                or not extract_only_form_gets
-            ):
-                add(action, action_ctx, "L")
-        # VALUE attribute: flashvars params or likely-URI values (:591-607)
-        if value_val is not None:
-            if element == "param" and name_val and name_val.lower() == "flashvars":
-                for kv in value_val.split("&"):
-                    v = kv.split("=", 1)[-1]
-                    if _is_very_likely_uri(v):
-                        add(v, value_ctx, "X")
-            elif extract_value_attributes and _is_very_likely_uri(value_val):
-                add(value_val, value_ctx, "L")
+        process_general_tag(element, innards)
 
         if body is not None:
             if element == "script":
                 add_js_strings(body)
+                if aggressive:
+                    # AggressiveExtractorHTML.processScript (:43-50): after
+                    # the normal script handling, run the ENTIRE javascript
+                    # body through processGeneralTag as if it were HTML —
+                    # "this may cause a lot of false positives" by design
+                    process_general_tag("script", body)
             else:  # style body
                 for u, cctx, hop in _extract_css_one(body):
                     add(u, cctx, hop)
     return out[:MAX_OUTLINKS]
+
+
+def _process_general_tag_impl(
+    element: str,
+    innards: str,
+    *,
+    add,
+    add_js_strings,
+    set_base,
+    base_state,
+    frames_as_embeds: bool,
+    ignore_form_actions: bool,
+    extract_only_form_gets: bool,
+    extract_value_attributes: bool,
+) -> None:
+    """processGeneralTag (ExtractorHTML.java:380-590) over one tag's
+    attribute innards; shared by the normal tag scan and the Aggressive
+    mode's whole-script-body re-scan."""
+    import html as _htmlmod
+
+    _py = _py_resolve
+    codebase = None
+    resources: list[str] = []
+    action = action_ctx = method = None
+    value_val = value_ctx = name_val = None
+    link_href = link_rel = None
+    for a in _RE_EACH_ATTR.finditer(innards):
+        val = _htmlmod.unescape(a.group(14) or a.group(15) or a.group(16) or "")
+        attr = a.group(1).lower()
+        ctx = f"{element}/@{attr}"
+        if a.group(2):  # HREF
+            if element == "link":
+                link_href = val
+            elif val.lower().startswith("javascript:"):
+                add_js_strings(val[len("javascript:"):])
+            else:
+                add(val, ctx, "L")
+            if element == "base":
+                set_base(val)
+        elif a.group(3):  # ACTION — finished after METHOD is known
+            if not ignore_form_actions:
+                action, action_ctx = val, ctx
+        elif a.group(4):  # ON* script handler
+            add_js_strings(val)
+        elif a.group(5):  # SRC family
+            hop = (
+                "L"
+                if not frames_as_embeds and element in ("frame", "iframe")
+                else "E"
+            )
+            if (element, attr) in _SRCSET_CONTEXTS:
+                for u in _srcset_urls(val):
+                    add(u, ctx, hop)
+            else:
+                add(val, ctx, hop)
+        elif a.group(6):  # CODEBASE
+            codebase = val
+            add(val, ctx, "L")
+        elif a.group(7):  # CLASSID / DATA
+            resources.append(val)
+        elif a.group(8):  # ARCHIVE — space-delimited URI list
+            resources.extend(val.split())
+        elif a.group(9):  # CODE (+ .class for applets)
+            if element == "applet" and not val.lower().endswith(".class"):
+                val += ".class"
+            resources.append(val)
+        elif a.group(10):  # VALUE — finished after NAME is known
+            value_val, value_ctx = val, ctx
+        elif a.group(11):  # inline STYLE: CSS url() scan
+            for u, cctx, hop in _extract_css_one(val):
+                add(u, cctx, hop)
+        elif a.group(12):  # METHOD
+            method = val
+        elif a.group(13):
+            if attr == "name":
+                name_val = val
+            elif attr == "rel":
+                link_rel = val
+            elif attr == "flashvars":
+                for kv in val.split("&"):
+                    v = kv.split("=", 1)[-1]
+                    if _is_very_likely_uri(v):
+                        add(v, ctx, "X")
+    # codebase-relative resources (processGeneralTag :548-576)
+    cb = _py(base_state(), codebase) if codebase else None
+    for res in resources:
+        add(res, element, "E", resolve_base=cb)
+    # LINK tag needs both HREF and REL (processLinkTagWithRel :609-637)
+    if link_href is not None and link_rel is not None:
+        nav = False
+        for kw in re.split(r"[ \t\n\f\r]+", link_rel):
+            lt = kw.lower()
+            if lt in _REL_EMBED:
+                add(link_href, f"link[rel='{lt}']/@href", "E")
+                nav = False
+                break
+            if lt == "pingback":
+                nav = False
+                break
+            if lt in _REL_IGNORE:
+                continue
+            nav = True
+        if nav:
+            add(link_href, "link/@href", "L")
+    # FORM action: only GETs by default (HER-1280, :583-589)
+    if action is not None:
+        if (
+            method is None
+            or method.upper() == "GET"
+            or not extract_only_form_gets
+        ):
+            add(action, action_ctx, "L")
+    # VALUE attribute: flashvars params or likely-URI values (:591-607)
+    if value_val is not None:
+        if element == "param" and name_val and name_val.lower() == "flashvars":
+            for kv in value_val.split("&"):
+                v = kv.split("=", 1)[-1]
+                if _is_very_likely_uri(v):
+                    add(v, value_ctx, "X")
+        elif extract_value_attributes and _is_very_likely_uri(value_val):
+            add(value_val, value_ctx, "L")
 
 
 _RE_SITEMAP_LINE = re.compile(r"(?i)Sitemap:\s*(.+)$", re.MULTILINE)
@@ -869,16 +918,145 @@ def _pdf_unescape(raw: bytes) -> str:
     return "".join(out)
 
 
+_RE_PDF_STREAM = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+
+
 def _extract_pdf_one(content: bytes) -> list[tuple]:
+    """PDF /URI actions in raw bytes AND inside FlateDecode'd object
+    streams (the reference's PDFParser inflates object streams before the
+    action walk — PDFParser.java; real-world PDFs almost always compress
+    their content). Non-Flate streams fail zlib and are skipped."""
     if not content or not content.startswith(b"%PDF"):
         return []
-    return [
+    import zlib
+
+    links = [
         (_pdf_unescape(m.group(1)), "pdf/URI", "E")
         for m in _RE_PDF_URI.finditer(content)
-    ][:MAX_OUTLINKS]
+    ]
+    for sm in _RE_PDF_STREAM.finditer(content):
+        try:
+            blob = zlib.decompress(sm.group(1).rstrip(b"\r\n"))
+        except zlib.error:
+            continue
+        links += [
+            (_pdf_unescape(m.group(1)), "pdf/URI", "E")
+            for m in _RE_PDF_URI.finditer(blob)
+        ]
+    return links[:MAX_OUTLINKS]
+
+
+# --- SWF tag walk (ExtractorSWF.java:387 + CustomSWFTags.java) ------------
+# Tag stream: RECT header, then (code<<6|len) records; DoAction(12) and
+# DoInitAction(59) carry action records, DefineSprite(39) nests a tag
+# stream. Action records >=0x80 carry a 2-byte LE length. The visitor laws
+# (CrawlUriSWFAction, ExtractorSWF.java:300-390):
+#   GetURL(0x83)      -> embed 'E' outlink; javascript: URLs go through the
+#                        ExtractorJS string scan instead
+#   ConstantPool(0x88)-> each pool string through considerStringAsUri
+#   Push(0x96) string -> considerStringAsUri (isVeryLikelyUri -> 'X')
+_SWF_PUSH_FIXED = {1: 4, 2: 0, 3: 0, 4: 1, 5: 1, 6: 8, 7: 4, 8: 1, 9: 2}
+
+
+def _swf_consider(s: str, out: list) -> None:
+    if _is_very_likely_uri(s):
+        out.append((s, "swf/string", "X"))
+
+
+def _swf_actions_urls(actions: bytes, out: list) -> None:
+    i, n = 0, len(actions)
+    while i < n:
+        code = actions[i]
+        i += 1
+        if code == 0:
+            break
+        if code < 0x80:
+            continue
+        if i + 2 > n:
+            break
+        ln = int.from_bytes(actions[i : i + 2], "little")
+        i += 2
+        payload = actions[i : i + ln]
+        i += ln
+        if code == 0x83:  # ActionGetURL: url\0 target\0
+            url = payload.split(b"\x00", 1)[0].decode("latin-1", "replace")
+            if not url:
+                continue
+            if url.startswith("javascript:"):
+                for u, c, h in _extract_js_one(url[len("javascript:"):]):
+                    out.append((u, c, h))
+            else:
+                out.append((url, "swf/GetURL", "E"))
+        elif code == 0x88:  # ActionConstantPool: count + strings
+            for s in payload[2:].split(b"\x00"):
+                if s:
+                    _swf_consider(s.decode("latin-1", "replace"), out)
+        elif code == 0x96:  # ActionPush: typed value records
+            j, m = 0, len(payload)
+            while j < m:
+                t = payload[j]
+                j += 1
+                if t == 0:  # string
+                    end = payload.find(b"\x00", j)
+                    if end == -1:
+                        break
+                    _swf_consider(
+                        payload[j:end].decode("latin-1", "replace"), out
+                    )
+                    j = end + 1
+                elif t in _SWF_PUSH_FIXED:
+                    j += _SWF_PUSH_FIXED[t]
+                else:
+                    break
+
+
+def _swf_walk_tags(buf: bytes, i: int, out: list, depth: int = 0) -> None:
+    n = len(buf)
+    while i < n:
+        if i + 2 > n:
+            raise ValueError("truncated tag header")
+        val = int.from_bytes(buf[i : i + 2], "little")
+        i += 2
+        code, ln = val >> 6, val & 0x3F
+        if ln == 0x3F:
+            if i + 4 > n:
+                raise ValueError("truncated long tag")
+            ln = int.from_bytes(buf[i : i + 4], "little")
+            i += 4
+        if i + ln > n:
+            raise ValueError("tag overruns body")
+        payload = buf[i : i + ln]
+        i += ln
+        if code == 0:  # End
+            break
+        if code == 12:  # DoAction
+            _swf_actions_urls(payload, out)
+        elif code == 59:  # DoInitAction: sprite id (2) then actions
+            _swf_actions_urls(payload[2:], out)
+        elif code == 39 and depth < 4:  # DefineSprite: id+framecount+tags
+            _swf_walk_tags(payload, 4, out, depth + 1)
+
+
+def _swf_tag_walk(body: bytes) -> list[tuple] | None:
+    """Walk the parsed tag stream; None when the body is not a coherent
+    tag stream (caller falls back to the flat byte scan)."""
+    try:
+        nbits = body[0] >> 3
+        i = (5 + 4 * nbits + 7) // 8  # RECT
+        i += 4  # frame rate + frame count
+        out: list[tuple] = []
+        _swf_walk_tags(body, i, out)
+        return out
+    except (IndexError, ValueError):
+        return None
 
 
 def _extract_swf_one(content: bytes) -> list[tuple]:
+    """SWF extraction: FWS raw / CWS zlib body, then the DoAction /
+    DoInitAction / DefineSprite tag walk with the reference's visitor laws
+    (drops URL-ish bytes in non-action tags — e.g. image payloads). A body
+    that does not parse as a tag stream falls back to the flat URL byte
+    scan (salvage path for truncated/nonstandard files)."""
     if not content or len(content) < 8:
         return []
     sig = content[:3]
@@ -893,6 +1071,9 @@ def _extract_swf_one(content: bytes) -> list[tuple]:
         body = content[8:]
     else:
         return []
+    walked = _swf_tag_walk(body)
+    if walked is not None:
+        return walked[:MAX_OUTLINKS]
     return [
         (m.group(1).decode("latin-1"), "swf/GetURL", "E")
         for m in _RE_SWF_URL.finditer(body)
@@ -954,6 +1135,18 @@ def extract_html_udf(base: pd.Series, html: pd.Series) -> pd.Series:
     """Vectorized HTML outlink extraction (regexes compiled once/worker)."""
     return pd.Series(
         [_extract_html_one(b, h) for b, h in zip(base.fillna(""), html.fillna(""))]
+    )
+
+
+@pandas_udf(ArrayType(OUTLINK_TYPE))
+def extract_html_aggressive_udf(base: pd.Series, html: pd.Series) -> pd.Series:
+    """AggressiveExtractorHTML (AggressiveExtractorHTML.java:34-50): the
+    ExtractorHTML scan with script bodies re-run through processGeneralTag."""
+    return pd.Series(
+        [
+            _extract_html_one(b, h, aggressive=True)
+            for b, h in zip(base.fillna(""), html.fillna(""))
+        ]
     )
 
 

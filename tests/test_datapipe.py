@@ -215,7 +215,7 @@ def test_multimodal_plumbing(spark):
     feats2 = {r.media_id: r.feature for r in MM.fake_feature_extract(media).collect()}
     for r in feats:
         assert feats2[r.media_id] == r.feature
-    # decode boundary is a marked stub
+    # payloads with no stdlib codec raise at the marked decode boundary
     with pytest.raises(Exception) as e:
         MM.decode_media(media).count()
     assert "NotImplementedError" in str(e.value) or isinstance(e.value, NotImplementedError)
@@ -223,3 +223,31 @@ def test_multimodal_plumbing(spark):
     plan = MM.frame_sample_plan(media, every_ms=500)
     assert plan.count() > 0
     assert plan.groupBy("media_id").count().agg(F.max("count")).collect()[0][0] >= 1
+
+
+def test_media_decode_real_formats(spark):
+    """decode_media really decodes what the stdlib can parse: BMP and P6
+    dimensions, WAV duration — metadata comes from the BYTES, not the
+    declared columns (declared values are deliberately wrong here)."""
+    rows = [
+        ("bmp0", "image", "image/bmp", 1, 1, None, bytearray(MM.make_bmp(17, 9))),
+        ("ppm0", "image", "image/x-portable-pixmap", 1, 1, None,
+         bytearray(MM.make_ppm(5, 3))),
+        ("wav0", "audio", "audio/x-wav", None, None, 7, bytearray(MM.make_wav(1250))),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in MM.decode_media(df, strict=True).collect()}
+    assert (got["bmp0"].width, got["bmp0"].height) == (17, 9)
+    assert (got["ppm0"].width, got["ppm0"].height) == (5, 3)
+    assert got["wav0"].duration_ms == 1250
+    # scalar parsers agree with the generators directly (incl. edge forms)
+    assert MM._decode_bmp(MM.make_bmp(1, 1)) == (1, 1)
+    assert MM._decode_pnm(b"P5\n#c\n 640\t480\n255\n") == (640, 480)
+    assert MM._decode_bmp(b"JUNK") is None and MM._decode_wav(b"RIFFxxxx") is None
+    # non-strict: undecodable payloads pass through with metadata untouched
+    junk = spark.createDataFrame(
+        [("j0", "image", "image/gif", 4, 2, None, bytearray(b"GIF89a~~"))],
+        MM.MEDIA_SCHEMA,
+    )
+    out = MM.decode_media(junk, strict=False).collect()[0]
+    assert (out.width, out.height) == (4, 2)

@@ -365,3 +365,134 @@ def test_trap_suppress_mask(spark):
         "http://h/child2": False,
         "http://h/seed": False,
     }
+
+
+# -- round-4 fidelity tail: PDF FlateDecode / SWF tag walk / Aggressive ----
+def _swf_tag(code, payload):
+    if len(payload) >= 0x3F:
+        return (
+            ((code << 6) | 0x3F).to_bytes(2, "little")
+            + len(payload).to_bytes(4, "little")
+            + payload
+        )
+    return ((code << 6) | len(payload)).to_bytes(2, "little") + payload
+
+
+def _swf_file(tags, compress=False):
+    import zlib
+
+    body = b"\x00" + b"\x00\x10\x01\x00" + tags + _swf_tag(0, b"")  # RECT(nbits=0)+rate+frames
+    if compress:
+        return b"CWS\x06" + (len(body) + 8).to_bytes(4, "little") + zlib.compress(body)
+    return b"FWS\x06" + (len(body) + 8).to_bytes(4, "little") + body
+
+
+def _action(code, payload=b""):
+    if code >= 0x80:
+        return bytes([code]) + len(payload).to_bytes(2, "little") + payload
+    return bytes([code])
+
+
+def test_pdf_flatedecode_streams():
+    """/URI actions inside FlateDecode'd object streams are found
+    (PDFParser object-stream handling); raw actions still work and a
+    non-Flate stream is skipped, not fatal."""
+    import zlib
+
+    inner = b"<< /S /URI /URI (http://deep.example/in-stream) >>"
+    pdf = (
+        b"%PDF-1.5\n1 0 obj\n<< /S /URI /URI (http://raw.example/top) >>\nendobj\n"
+        b"2 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+        + zlib.compress(inner)
+        + b"\nendstream\nendobj\n"
+        b"3 0 obj\n<< >>\nstream\nnot-compressed-bytes\nendstream\nendobj\n"
+    )
+    got = [u for u, _, _ in EX._extract_pdf_one(pdf)]
+    assert got == ["http://raw.example/top", "http://deep.example/in-stream"]
+
+
+def test_swf_tag_walk_visitor_laws():
+    """DoAction GetURL -> 'E'; ActionPush strings + ConstantPool ->
+    speculative 'X' via isVeryLikelyUri; javascript: GetURL goes through
+    the JS string scan; DoInitAction and DefineSprite nesting covered."""
+    acts = (
+        _action(0x83, b"http://a.example/clicked\x00_top\x00")
+        + _action(
+            0x96,
+            b"\x00http://b.example/pushed\x00" + b"\x07\x01\x00\x00\x00"  # string + int
+            + b"\x00not a url\x00",
+        )
+        + _action(0x88, b"\x02\x00/c.example/pool.html\x00plainword\x00")
+        + _action(0x00)
+    )
+    js = _action(
+        0x83, b"javascript:window.open('http://d.example/js.html')\x00\x00"
+    )
+    sprite_acts = _action(0x83, b"http://e.example/sprite\x00\x00") + _action(0)
+    tags = (
+        _swf_tag(12, acts)
+        + _swf_tag(59, b"\x01\x00" + js + _action(0))
+        + _swf_tag(39, b"\x01\x00\x01\x00" + _swf_tag(12, sprite_acts))
+        # an image-ish tag whose payload contains URL bytes: the flat scan
+        # would emit it, the tag walk must NOT (CustomSWFTags routes only
+        # action-bearing tags to the URL visitor)
+        + _swf_tag(20, b"junk http://noise.example/in-image-bytes\x00 junk")
+    )
+    for compress in (False, True):
+        got = EX._extract_swf_one(_swf_file(tags, compress=compress))
+        urls = [u for u, _, _ in got]
+        assert urls == [
+            "http://a.example/clicked",
+            "http://b.example/pushed",
+            "/c.example/pool.html",
+            "http://d.example/js.html",
+            "http://e.example/sprite",
+        ]
+        hops = {u: h for u, _, h in got}
+        assert hops["http://a.example/clicked"] == "E"
+        assert hops["http://b.example/pushed"] == "X"
+        assert hops["http://d.example/js.html"] == "X"
+    # the flat regex WOULD have surfaced the image-payload noise — the tag
+    # walk is strictly more faithful here
+    import re as _re
+
+    flat = EX._RE_SWF_URL.findall(
+        b"junk http://noise.example/in-image-bytes\x00 junk"
+    )
+    assert flat  # regex finds it; walk (above) does not
+
+
+def test_swf_malformed_falls_back_to_flat_scan():
+    """A body that is not a coherent tag stream keeps the salvage byte
+    scan (backward-compatible with truncated/nonstandard files)."""
+    body = b"\x01\x02http://x.example/movie.html\x00\x03tail"
+    fws = b"FWS\x06" + (len(body) + 8).to_bytes(4, "little") + body
+    assert [u for u, _, _ in EX._extract_swf_one(fws)] == [
+        "http://x.example/movie.html"
+    ]
+
+
+def test_aggressive_extractor_html():
+    """AggressiveExtractorHTML.processScript (:43-50): script bodies are
+    re-scanned as HTML tag innards AFTER the normal JS string scan — an
+    href= inside javascript code becomes a real 'L' outlink only in
+    aggressive mode."""
+    html = (
+        '<a href="/normal.html">x</a>'
+        "<script>document.write('<iframe src=http://gen.example/built.html >');"
+        ' var t = "plain/path.html";</script>'
+    )
+    base = "http://h.example/p"
+    normal = EX._extract_html_one(base, html)
+    aggro = EX._extract_html_one(base, html, aggressive=True)
+    n_urls = [u for u, _, _ in normal]
+    a_urls = [u for u, _, _ in aggro]
+    # the JS string scan finds the quoted likely-URI in both modes (the
+    # generated markup string itself has <> and spaces -> not URI-likely)
+    assert "http://h.example/plain/path.html" in n_urls
+    assert "http://h.example/plain/path.html" in a_urls
+    # only aggressive mode parses the generated src= out of the script body
+    assert "http://gen.example/built.html" not in n_urls
+    assert "http://gen.example/built.html" in a_urls
+    # and the aggressive re-scan emits it with the SRC-family embed hop
+    assert ("http://gen.example/built.html", "script/@src", "E") in aggro
