@@ -2189,11 +2189,16 @@ class CrawlEngine:
         :1100-1118; BdbMultipleWorkQueues.deleteMatchingFromQueue :105-139).
         Host pending counters are recomputed for affected queues."""
         frontier = self.frontier_t.read(self.spark)
-        kept = frontier.filter(
-            ~(F.col("class_key").rlike(queue_regex) & F.col("uri").rlike(uri_regex))
+        doomed = frontier.filter(
+            F.col("class_key").rlike(queue_regex) & F.col("uri").rlike(uri_regex)
+        ).select("ordinal", "class_key").persist()
+        # O(matched) tombstones, not an O(table) rewrite (the regex scan
+        # itself is inherently O(table) — a read, amortized by the merge)
+        self.frontier_t.delete_keys(
+            doomed.select("ordinal"), seq=2 * self.round + 1, template=frontier
         )
-        self.frontier_t.overwrite(kept.repartition(self.cfg.num_buckets, "class_key"))
-        self._recount_pending()
+        self._recount_pending(affected=doomed.select("class_key").distinct())
+        doomed.unpersist()
 
     def forget_uri(self, canonical: str) -> None:
         """Remove from the seen set so the URI can be rediscovered
@@ -2211,9 +2216,16 @@ class CrawlEngine:
         fps = self.spark.createDataFrame([(create_key(canonical),)], "fp long")
         self.urlseen.add_fps(fps)
 
-    def _recount_pending(self) -> None:
+    def _recount_pending(self, affected: DataFrame | None = None) -> None:
+        """Recompute host pending counters; with ``affected`` (a class_key
+        frame) only those queues are recounted and upserted — O(touched)
+        writes, matching the round path's merge-on-read discipline."""
         frontier = self.frontier_t.read(self.spark)
         hosts = self.host_t.read(self.spark)
+        if affected is not None:
+            keys = affected.distinct()
+            hosts = hosts.join(F.broadcast(keys), "class_key", "left_semi")
+            frontier = frontier.join(F.broadcast(keys), "class_key", "left_semi")
         counts = frontier.groupBy("class_key").agg(F.count("*").alias("__n"))
         updated = hosts.join(counts, "class_key", "left").select(
             "class_key",
@@ -2223,7 +2235,10 @@ class CrawlEngine:
             "error_count",
             "retired",
         )
-        self.host_t.overwrite(updated)
+        if affected is None:
+            self.host_t.overwrite(updated)
+        else:
+            self.host_t.upsert(updated, seq=2 * self.round + 1)
 
     # ------------------------------------------------------------------
     # journal import (recovery without checkpoint)
@@ -2254,6 +2269,7 @@ class CrawlEngine:
                 "metrics": self.metrics_t.latest_version(),
                 "url_seen": self.urlseen.table.latest_version(),
                 "url_seen_bloom": self.urlseen.bloom_table.latest_version(),
+                "url_seen_forgot": self.urlseen.forgot_t.latest_version(),
                 "futures": self.futures_t.latest_version(),
                 "quota_stats": self.quota_t.latest_version(),
                 "digest_seen": self.digest_t.latest_version(),

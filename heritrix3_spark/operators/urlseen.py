@@ -60,6 +60,12 @@ from heritrix3_spark.storage import SnapshotCatalog
 SEEN_SCHEMA = StructType(
     [StructField("fp", LongType(), False), StructField("bucket", IntegerType(), False)]
 )
+#: forget tombstones: exact fp rows (UriUniqFilter.forget) or 24-bit
+#: authority-prefix range rows (forgetAllSchemeAuthorityMatching) — both
+#: O(delta) appends subtracted at read, folded away at compaction
+FORGOT_SCHEMA = StructType(
+    [StructField("fp", LongType(), True), StructField("prefix24", LongType(), True)]
+)
 
 
 @pandas_udf(LongType())
@@ -124,6 +130,12 @@ class UrlSeen:
         self.catalog = catalog
         self.table = catalog.table("url_seen")
         self.bloom_table = catalog.table("url_seen_bloom")
+        # forget tombstones (merge-on-read): admin forgets append here
+        # instead of rewriting the seen table; reads subtract, compaction
+        # folds. Bloom shards are NOT rebuilt on forget — a forgotten fp
+        # still hitting the bloom is just a false positive, resolved by
+        # the exact anti-join against the subtracted set.
+        self.forgot_t = catalog.table("url_seen_forgot")
         self.num_buckets = num_buckets
         self.bloom = bloom
         # MINIMUM shard size; shards self-size upward from their key count
@@ -138,9 +150,31 @@ class UrlSeen:
 
     # -- reads ------------------------------------------------------------
     def seen(self, spark: SparkSession) -> DataFrame:
-        if self.table.exists():
-            return self.table.read(spark)
-        return spark.createDataFrame([], SEEN_SCHEMA)
+        """The live seen set: base minus forget tombstones (merge-on-read).
+        The tombstone side is O(forgets since compaction) — broadcast
+        anti-joins under AQE; crawls that never forget skip both joins."""
+        if not self.table.exists():
+            return spark.createDataFrame([], SEEN_SCHEMA)
+        base = self.table.read(spark)
+        if self.forgot_t.exists():
+            fg = self.forgot_t.read(spark)
+            fp_tombs = fg.filter(F.col("fp").isNotNull()).select(
+                F.col("fp").alias("__fg_fp")
+            )
+            base = base.join(
+                fp_tombs, base["fp"] == F.col("__fg_fp"), "left_anti"
+            )
+            pr_tombs = (
+                fg.filter(F.col("prefix24").isNotNull())
+                .select(F.col("prefix24").alias("__fg_pr"))
+                .distinct()
+            )
+            base = base.join(
+                F.broadcast(pr_tombs),
+                F.shiftrightunsigned(F.col("fp"), 40) == F.col("__fg_pr"),
+                "left_anti",
+            )
+        return base
 
     def count(self, spark: SparkSession) -> int:
         return self.seen(spark).count()
@@ -242,8 +276,16 @@ class UrlSeen:
             F.col(fp_field).alias("fp"),
             bucket_col(F.col(fp_field), self.num_buckets).alias("bucket"),
         ).dropDuplicates(["fp"])
+        if self.forgot_t.exists():
+            # a re-added fp cancels its forget tombstone (rare admin state;
+            # crawls that never forget skip this entirely)
+            new = new.persist()
+            self._unforget(new, spark)
         if assume_novel and self.table.exists():
             new = new.persist()
+            # NB: re-adding a previously-forgotten fp can leave a transient
+            # duplicate base row (old physical row + this append) — dedup'd
+            # at the next compaction; anti-join semantics are unaffected
             self.table.append(new)
             if self.bloom:
                 self._append_bloom(new)
@@ -253,7 +295,9 @@ class UrlSeen:
                 self.approx_seen += n_hint
             return None
         if self.table.exists():
-            old = self.table.read(spark)
+            # anti-join against the LIVE set (base minus tombstones) so a
+            # forgotten fp really re-enters
+            old = self.seen(spark)
             new = new.join(old, "fp", "left_anti")
             merged = old.unionByName(new)
         else:
@@ -263,47 +307,103 @@ class UrlSeen:
         if n_new > 0 or not self.table.exists():
             merged = merged.repartition(self.num_buckets, "bucket").sortWithinPartitions("fp")
             self.table.overwrite(merged)
+            if self.forgot_t.exists():
+                # the overwrite materialized the subtraction — fold tombstones
+                self.forgot_t.overwrite(spark.createDataFrame([], FORGOT_SCHEMA))
             if self.bloom:
                 self._rebuild_bloom(spark)
         return n_new
+
+    def _unforget(self, new: DataFrame, spark: SparkSession) -> None:
+        """Cancel tombstones covered by re-added fps: exact tombstones drop;
+        a prefix-range tombstone whose range a re-add touches is EXPANDED
+        into exact tombstones for the still-forgotten fps under it (one
+        O(base)-scan job, only on this rare collision). O(forgot) rewrite."""
+        fg = self.forgot_t.read(spark)
+        new_fps = new.select("fp")
+        pr_hits = [
+            r.prefix24
+            for r in fg.filter(F.col("prefix24").isNotNull())
+            .join(
+                F.broadcast(
+                    new_fps.select(
+                        F.shiftrightunsigned("fp", 40).alias("__np")
+                    ).distinct()
+                ),
+                F.col("prefix24") == F.col("__np"),
+                "left_semi",
+            )
+            .collect()
+        ]
+        exact_all = fg.filter(F.col("fp").isNotNull())
+        exact = exact_all.join(
+            new_fps.select(F.col("fp").alias("__n")),
+            F.col("fp") == F.col("__n"),
+            "left_anti",
+        )
+        if not pr_hits and exact_all.join(
+            new_fps.select(F.col("fp").alias("__n")),
+            F.col("fp") == F.col("__n"),
+            "left_semi",
+        ).isEmpty():
+            return  # no tombstone touched — skip the rewrite
+        ranges = fg.filter(F.col("prefix24").isNotNull())
+        if pr_hits:
+            base = self.table.read(spark)
+            still = (
+                base.filter(
+                    F.shiftrightunsigned("fp", 40).isin([int(p) for p in pr_hits])
+                )
+                .select("fp")
+                .distinct()
+                .join(new_fps, "fp", "left_anti")
+                .select("fp", F.lit(None).cast("long").alias("prefix24"))
+            )
+            ranges = ranges.filter(~F.col("prefix24").isin([int(p) for p in pr_hits]))
+            exact = exact.unionByName(still)
+        self.forgot_t.overwrite(exact.unionByName(ranges))
 
     #: compact after this many delta appends (keeps file counts bounded)
     COMPACT_EVERY = 32
 
     def _maybe_compact(self, spark: SparkSession) -> None:
         if len(self.table._parents(self.table.latest_version())) >= self.COMPACT_EVERY:
+            # fold appends AND forget tombstones into a fresh base snapshot
             merged = (
-                self.table.read(spark)
+                self.seen(spark)
                 .repartition(self.num_buckets, "bucket")
                 .sortWithinPartitions("fp")
             )
             self.table.overwrite(merged)
+            if self.forgot_t.exists():
+                self.forgot_t.overwrite(spark.createDataFrame([], FORGOT_SCHEMA))
             if self.bloom:
                 self._rebuild_bloom(spark)
 
     def forget_fps(self, fps: DataFrame, fp_field: str = "fp") -> None:
-        """forget: remove so the URI can be rediscovered (UriUniqFilter.forget)."""
+        """forget: remove so the URI can be rediscovered (UriUniqFilter
+        .forget). O(forgotten) tombstone append — never a table rewrite;
+        bloom shards are left alone (false positives are checked exactly)."""
         if not self.table.exists():
             return
-        spark = fps.sparkSession
-        old = self.table.read(spark)
-        kept = old.join(fps.select(F.col(fp_field).alias("fp")), "fp", "left_anti")
-        self.table.overwrite(kept)
-        if self.bloom:
-            self._rebuild_bloom(spark)
+        self.forgot_t.append(
+            fps.select(
+                F.col(fp_field).cast("long").alias("fp"),
+                F.lit(None).cast("long").alias("prefix24"),
+            )
+        )
 
     def forget_authority(self, spark: SparkSession, scheme_authority_prefix24: int) -> None:
         """Range-delete every fp sharing a 24-bit authority prefix
-        (BdbUriUniqFilter.forgetAllSchemeAuthorityMatching, :419-449)."""
+        (BdbUriUniqFilter.forgetAllSchemeAuthorityMatching, :419-449):
+        one range-tombstone row, subtracted at read."""
         if not self.table.exists():
             return
-        old = self.table.read(spark)
-        kept = old.filter(
-            F.shiftrightunsigned(F.col("fp"), 40) != F.lit(scheme_authority_prefix24)
+        self.forgot_t.append(
+            spark.createDataFrame(
+                [(None, int(scheme_authority_prefix24))], FORGOT_SCHEMA
+            )
         )
-        self.table.overwrite(kept)
-        if self.bloom:
-            self._rebuild_bloom(spark)
 
     _BLOOM_SCHEMA = StructType(
         [

@@ -74,3 +74,28 @@ def test_count_and_idempotent_add(spark, urlseen):
     assert urlseen.count(spark) == 2
     assert urlseen.add_fps(df) == 0  # idempotent
     assert urlseen.count(spark) == 2
+
+
+def test_forget_is_o_delta_and_readd_cancels(spark, urlseen):
+    """Admin forgets are tombstone appends (base snapshot untouched, no
+    bloom rebuild) and a re-add cancels the tombstone; compaction folds."""
+    urls = [f"http://t.example/p{i}" for i in range(8)]
+    urlseen.add_fps(_urls_df(spark, urls))
+    base_v = urlseen.table.latest_version()
+    urlseen.forget_fps(_urls_df(spark, urls[:3]))
+    # O(delta): the base table got NO new snapshot, only the tombstone side
+    assert urlseen.table.latest_version() == base_v
+    assert urlseen.forgot_t.exists()
+    assert urlseen.count(spark) == 5
+    # re-add one forgotten fp: tombstone canceled, fp seen again
+    urlseen.add_fps(_urls_df(spark, [urls[0]]))
+    assert urlseen.filter_novel(_urls_df(spark, [urls[0]])).count() == 0
+    assert urlseen.filter_novel(_urls_df(spark, [urls[1]])).count() == 1
+    # range tombstone + re-add under the same authority: expansion law —
+    # the re-added fp lives, its forgotten siblings stay forgotten
+    prefix = fp.authority_prefix24(fp.create_key(urls[4]))
+    urlseen.forget_authority(spark, prefix)
+    assert urlseen.count(spark) == 0  # whole authority gone
+    urlseen.add_fps(_urls_df(spark, [urls[4]]))
+    assert urlseen.filter_novel(_urls_df(spark, [urls[4]])).count() == 0
+    assert urlseen.filter_novel(_urls_df(spark, [urls[5]])).count() == 1
