@@ -249,6 +249,11 @@ class CrawlConfig:
     # server (documented subset — see auth.py docstring).
     auth_zones: tuple = ()
     credentials: tuple = ()
+    # HtmlFormCredential analogs: ((domain, login_uri), ...) — pages on
+    # ``domain`` defer behind a login-URI prerequisite until it has been
+    # fetched successfully (PreconditionEnforcer.credentialPrecondition;
+    # see operators/auth.py form section). One credential per domain.
+    form_credentials: tuple = ()
     # maxPerHostBandwidthUsageKbSec (DispositionProcessor.java:275-291,
     # default 0 = off): after each fetch the host may not emit again before
     # fetch_end + content_bytes/(cap*1.024) ms; the post-fetch snooze is
@@ -1031,8 +1036,13 @@ class CrawlEngine:
         # profile-crawler-beans.cxml:321-328 + QuotaEnforcer placement) ------
         quotas_on = bool(cfg.quotas)
         auth_on = bool(cfg.auth_zones)
+        form_on = bool(cfg.form_credentials)
         need_gate = (
-            cfg.robots == "obey" or cfg.dns == "obey" or quotas_on or auth_on
+            cfg.robots == "obey"
+            or cfg.dns == "obey"
+            or quotas_on
+            or auth_on
+            or form_on
         )
         if need_gate:
             emitted = emitted.withColumn(
@@ -1149,6 +1159,51 @@ class CrawlEngine:
                 rb_known, allowed = F.lit(True), F.lit(True)
                 crawl_delay = F.lit(None).cast("double")
                 emitted = emitted.withColumn("__rb_stale", F.lit(False))
+            if form_on:
+                # credentialPrecondition (PreconditionEnforcer.java:379-439):
+                # a guarded row defers behind its login-URI prerequisite
+                # until the credential is promoted (authenticated); login
+                # rows themselves always pass
+                for name, colx in AUTH.form_cols(
+                    F.col("__server"), F.col("canonical"), cfg.form_credentials
+                ).items():
+                    emitted = emitted.withColumn(name, colx)
+                if self.auth_t.exists():
+                    fa = (
+                        self.auth_t.read(self.spark)
+                        .select("server", "realm")
+                        .distinct()
+                    )
+                    fa = fa.join(
+                        F.broadcast(round_servers),
+                        fa["server"] == F.col("__srv"),
+                        "left_semi",
+                    ).select(
+                        F.col("server").alias("__fa_server"),
+                        F.col("realm").alias("__fa_realm"),
+                        F.lit(True).alias("__fa_hit"),
+                    )
+                    emitted = emitted.join(
+                        fa,
+                        (emitted["__form_dom"] == F.col("__fa_server"))
+                        & (emitted["__form_realm"] == F.col("__fa_realm")),
+                        "left",
+                    ).drop("__fa_server", "__fa_realm")
+                else:
+                    emitted = emitted.withColumn(
+                        "__fa_hit", F.lit(None).cast("boolean")
+                    )
+                emitted = emitted.withColumn(
+                    "__form_needed",
+                    F.coalesce(
+                        F.col("__form_dom").isNotNull()
+                        & ~F.col("__is_login")
+                        & ~F.coalesce(F.col("__fa_hit"), F.lit(False)),
+                        F.lit(False),
+                    ),
+                ).drop("__fa_hit")
+            else:
+                emitted = emitted.withColumn("__form_needed", F.lit(False))
             if quotas_on:
                 emitted = self._quota_blocked_col(emitted)
             else:
@@ -1173,6 +1228,9 @@ class CrawlEngine:
                     .when(F.col("__is_robots"), F.lit(None).cast("int"))
                     .when(~rb_known, F.lit(FR.S_DEFERRED))
                     .when(~allowed, F.lit(FR.S_ROBOTS_PRECLUDED))
+                    # credentialPrecondition sits after robots, before the
+                    # quota processor (PreconditionEnforcer chain position)
+                    .when(F.col("__form_needed"), F.lit(FR.S_DEFERRED))
                     .when(F.col("__quota_blocked"), quota_status)
                     .otherwise(F.lit(None).cast("int")),
                 )
@@ -1188,6 +1246,10 @@ class CrawlEngine:
                     ).when(
                         ~F.col("__is_dns") & ~F.col("__is_robots") & ~rb_known,
                         F.lit("robots"),
+                    ).when(
+                        (F.col("__forced_status") == FR.S_DEFERRED)
+                        & F.col("__form_needed"),
+                        F.lit("form"),
                     ),
                 )
                 # expiry-driven prerequisites must re-enter the frontier even
@@ -1543,10 +1605,11 @@ class CrawlEngine:
                 F.col("parent_data").alias("data"),
             )
             cand = cand.unionByName(extra)
-        if cfg.robots == "obey" or cfg.dns == "obey":
-            # deferred triggers inject their prerequisite (dns:host or
-            # /robots.txt): 'P' hop, HIGHEST directive, rides the trigger's
-            # queue (CrawlURI.markPrerequisite, CrawlURI.java:1717-1735);
+        if cfg.robots == "obey" or cfg.dns == "obey" or form_on:
+            # deferred triggers inject their prerequisite (dns:host,
+            # /robots.txt, or the form-credential login URI): 'P' hop,
+            # HIGHEST directive, rides the trigger's queue
+            # (CrawlURI.markPrerequisite, CrawlURI.java:1717-1735);
             # ordered before the trigger round's outlinks via
             # outlink_index=-1. via = the trigger's CANONICAL so the
             # prerequisite provably lands in the trigger's queue (Heritrix's
@@ -1563,6 +1626,15 @@ class CrawlEngine:
                     F.lit("/robots.txt"),
                 )
             )
+            if form_on:
+                login_uri = F.lit(None).cast("string")
+                for dom, lu in reversed(cfg.form_credentials):
+                    login_uri = F.when(
+                        F.col("__server") == dom, F.lit(lu)
+                    ).otherwise(login_uri)
+                prereq_uri = F.when(
+                    F.col("__defer_reason") == "form", login_uri
+                ).otherwise(prereq_uri)
             prereqs = fetched.filter(F.col("fetch_status") == FR.S_DEFERRED).select(
                 prereq_uri.alias("uri"),
                 F.concat(F.col("hops_path"), F.lit("P")).alias("hops_path"),
@@ -1934,6 +2006,24 @@ class CrawlEngine:
             )
             if promoted_new.count():
                 self.auth_t.append(promoted_new)
+        # form-credential authentication: a successful login fetch promotes
+        # the credential to its DOMAIN's server (cross-domain capable,
+        # FetchHTTP.promoteCredentials keys by credential domain)
+        if form_on:
+            logins_ok = (
+                fetched.filter(
+                    F.col("__login_dom").isNotNull()
+                    & (F.col("fetch_status") >= 200)
+                    & (F.col("fetch_status") < 300)
+                )
+                .select(
+                    F.col("__login_dom").alias("server"),
+                    F.col("__login_realm").alias("realm"),
+                )
+                .distinct()
+            )
+            if logins_ok.count():
+                self.auth_t.append(logins_ok)
 
         # queue clock law (WorkQueueFrontier.processFinish :947-1029):
         # deferred/precluded never fetched -> no advance; retried fetches

@@ -87,6 +87,81 @@ def zone_cols(
 
 
 # ---------------------------------------------------------------------------
+# HtmlFormCredential (modules/.../credential/HtmlFormCredential.java +
+# PreconditionEnforcer.credentialPrecondition, engine/.../prefetch/
+# PreconditionEnforcer.java:379-439): a page on the credential's domain may
+# not fetch until the login URI has been fetched successfully; the login
+# fetch promotes the credential to the DOMAIN's server (cross-domain logins
+# supported — FetchHTTP.promoteCredentials keys by credential domain, not
+# the fetched server, FetchHTTP.java:799-818). One form credential per
+# domain (documented subset). Authenticated state rides the same promoted-
+# credential table as RFC2617, under a reserved "#form:" realm.
+# ---------------------------------------------------------------------------
+FORM_REALM_PREFIX = "#form:"
+
+
+def form_realm(login_canonical: str) -> str:
+    return FORM_REALM_PREFIX + login_canonical
+
+
+def _form_entries(form_credentials: tuple) -> list[tuple[str, str, str]]:
+    """(domain, login_canonical, realm) rows — canonicalized once."""
+    from heritrix3_spark.functions.canonicalize import canonicalize
+
+    out = []
+    for dom, login_uri in form_credentials:
+        lc = canonicalize(login_uri)
+        out.append((dom, lc, form_realm(lc)))
+    return out
+
+
+def form_cols(
+    server: Column, canonical: Column, form_credentials: tuple
+) -> dict[str, Column]:
+    """Per-row form-credential columns (config CASE chains):
+
+    * ``__form_dom`` / ``__form_realm`` — the credential guarding this
+      row's server (NULL = unguarded);
+    * ``__is_login`` — this row IS a login URI (never self-deferred);
+    * ``__login_dom`` / ``__login_realm`` — set on login rows only: the
+      domain+realm a successful fetch promotes (cross-domain capable).
+    """
+    entries = _form_entries(form_credentials)
+    fd = F.lit(None).cast("string")
+    fr = F.lit(None).cast("string")
+    ld = F.lit(None).cast("string")
+    lr = F.lit(None).cast("string")
+    for dom, lc, realm in reversed(entries):
+        fd = F.when(server == dom, F.lit(dom)).otherwise(fd)
+        fr = F.when(server == dom, F.lit(realm)).otherwise(fr)
+        ld = F.when(canonical == lc, F.lit(dom)).otherwise(ld)
+        lr = F.when(canonical == lc, F.lit(realm)).otherwise(lr)
+    return {
+        "__form_dom": fd,
+        "__form_realm": fr,
+        "__is_login": canonical.isin(*[lc for _, lc, _ in entries]),
+        "__login_dom": ld,
+        "__login_realm": lr,
+    }
+
+
+def form_cred_for_server(server: str, form_credentials: tuple):
+    """Scalar twin: (domain, login_canonical, realm) guarding ``server``."""
+    for e in _form_entries(form_credentials):
+        if e[0] == server:
+            return e
+    return None
+
+
+def form_cred_for_login(canonical: str, form_credentials: tuple):
+    """Scalar twin: the credential whose login URI IS ``canonical``."""
+    for e in _form_entries(form_credentials):
+        if e[1] == canonical:
+            return e
+    return None
+
+
+# ---------------------------------------------------------------------------
 # scalar twins (simulator side — one law, two executions)
 # ---------------------------------------------------------------------------
 def zone_for(server: str, path: str, auth_zones: tuple) -> tuple | None:

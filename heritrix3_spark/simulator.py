@@ -110,6 +110,10 @@ class SimConfig:
     # promoteCredentials with round-batch visibility)
     auth_zones: tuple = ()
     credentials: tuple = ()
+    # HtmlFormCredential analogs — law shared with
+    # CrawlConfig.form_credentials (credentialPrecondition defer + login
+    # prerequisite + domain promotion; operators/auth.py form section)
+    form_credentials: tuple = ()
 
 
 @dataclass
@@ -331,6 +335,11 @@ def simulate(
     digests_seen: set = set()
     # server-promoted credentials (promoteCredentials): (server, realm)
     auth_promoted: set = set()
+    # form-credential authenticated state: (domain, "#form:login") —
+    # promoted at round end like the engine's auth table (the gate reads
+    # round-start state; no intra-batch visibility since the check runs
+    # at emit time, before any fetch)
+    form_auth: set = set()
     # documents-sink analog for TrapSuppressExtractor: canonical -> latest
     # archived payload (content tuple)
     archived: dict[str, tuple] = {}
@@ -400,6 +409,7 @@ def simulate(
             quota_snapshot = _copy.deepcopy(quota_stats)
         round_fetches = []  # (ordinal, server, class_key, status, content, size)
         round_promotions: set = set()  # lands in auth_promoted at round end
+        round_form_auth: set = set()  # login successes -> form_auth at round end
         retire_marks: set[str] = set()
         candidates = []  # (parent_ordinal, outlink_index, url, hops, via)
         for ck in sorted(eligible):
@@ -449,6 +459,25 @@ def simulate(
                             prereq_force = rb is not None  # stale, not new
                         elif not rb[0].allows(cfg.user_agent, path_q):
                             forced = -9998  # S_ROBOTS_PRECLUDED
+                # credentialPrecondition (after robots, before quota):
+                # guarded rows defer behind their login-URI prerequisite
+                # until authenticated; login rows always pass
+                if (
+                    cfg.form_credentials
+                    and forced is None
+                    and server is not None
+                    and not is_dns
+                    and not is_robots
+                    and _auth.form_cred_for_login(
+                        curi.canonical, cfg.form_credentials
+                    )
+                    is None
+                ):
+                    fcred = _auth.form_cred_for_server(
+                        server, cfg.form_credentials
+                    )
+                    if fcred is not None and (fcred[0], fcred[2]) not in form_auth:
+                        forced, reason = -50, "form"
                 if forced == -50:
                     attempts = curi.fetch_attempts + 1
                     if attempts < cfg.max_retries:
@@ -457,11 +486,16 @@ def simulate(
                         requeue.append(curi)
                         # inject the prerequisite ('P', HIGHEST);
                         # via = trigger's canonical -> same queue
-                        prereq = (
-                            f"dns:{server}"
-                            if reason == "dns"
-                            else f"{scheme}://{server}/robots.txt"
-                        )
+                        if reason == "dns":
+                            prereq = f"dns:{server}"
+                        elif reason == "form":
+                            prereq = next(
+                                lu
+                                for d, lu in cfg.form_credentials
+                                if d == server
+                            )
+                        else:
+                            prereq = f"{scheme}://{server}/robots.txt"
                         candidates.append(
                             (
                                 curi.ordinal,
@@ -631,6 +665,12 @@ def simulate(
                     # queue's batch now, to everyone from next round
                     promo_batch.add((server, attached))
                     round_promotions.add((server, attached))
+                if 200 <= status < 300 and cfg.form_credentials:
+                    fl = _auth.form_cred_for_login(
+                        curi.canonical, cfg.form_credentials
+                    )
+                    if fl is not None:
+                        round_form_auth.add((fl[0], fl[2]))
                 # content-type model (CrawlURI.setContentType analog; law
                 # shared with the engine via functions/mime.py scalars)
                 ct = _mime.content_type(
@@ -807,6 +847,7 @@ def simulate(
         for rk in retire_marks:
             queues[rk].retired = True
         auth_promoted |= round_promotions
+        form_auth |= round_form_auth
         if quotas or cfg.digest_history:
             for ordinal, server, ck2, status, content, size, row in sorted(
                 round_fetches, key=lambda r: r[0]

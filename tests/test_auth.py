@@ -205,3 +205,118 @@ def test_auth_with_robots_gate(spark, tmp_path, robots):
     eng.bootstrap(seeds)
     eng_log = eng.run(max_rounds=60)
     assert _eng_rows(eng_log) == _sim_rows(sim_log)
+
+
+# -- HtmlFormCredential (FormAuthSelfTest analog) ---------------------------
+FORM_CREDS = (("h0.example", "http://h0.example/login"),)
+
+
+def _form_web(login_host="h0"):
+    """h0 pages guarded by a form credential; the login page links onward
+    (the FormAuthSelfTest success.html shape)."""
+    web = {u: s for u, s in FX.synth_web_rows(H, 3)}
+    web[f"http://{login_host}.example/login"] = [
+        ("text", "login form", None, 0),
+        ("link", "success", "http://h0.example/success", 1),
+    ]
+    web["http://h0.example/success"] = [("text", "you are in", None, 0)]
+    return web
+
+
+def test_form_auth_crawl_parity(spark, tmp_path):
+    """credentialPrecondition: guarded pages defer behind the login-URI
+    prerequisite; the login fetch authenticates the domain; everything then
+    crawls — engine matches simulator row-exactly, and the login is fetched
+    before any guarded page."""
+    web = _form_web()
+    seeds = FX.seed_lines(H)
+    sim_log, _ = simulate(web, seeds, SimConfig(form_credentials=FORM_CREDS))
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "form"),
+        spark.createDataFrame(list(web.items()), FX.DOCUMENTS_SCHEMA),
+        CrawlConfig(
+            num_buckets=4, ordinal_partitions=1, bloom=False,
+            form_credentials=FORM_CREDS,
+        ),
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=60)
+    assert _eng_rows(eng_log) == _sim_rows(sim_log)
+    h0 = [l for l in sim_log if "h0.example" in l["canonical"]]
+    login_round = min(
+        l["round"] for l in h0
+        if l["canonical"].endswith("/login") and l["disposition"] == "success"
+    )
+    first_page = min(
+        l["round"] for l in h0
+        if not l["canonical"].endswith("/login") and l["disposition"] == "success"
+    )
+    assert login_round < first_page
+    # the guarded seed deferred at least once, and the FormAuthSelfTest
+    # EXPECTED-set law: login + success + all guarded pages crawled
+    assert any(
+        l["fetch_status"] == -50 and l["canonical"] == "http://h0.example/p0"
+        for l in sim_log
+    )
+    succ = {l["canonical"] for l in sim_log if l["disposition"] == "success"}
+    assert {
+        "http://h0.example/login", "http://h0.example/success",
+        "http://h0.example/p0", "http://h0.example/p1", "http://h0.example/p2",
+    } <= succ
+
+
+def test_form_auth_cross_domain_login(spark, tmp_path):
+    """The login URI may live on ANOTHER host ("such as yahoo" —
+    PreconditionEnforcer.java:393-396): promotion keys by the credential
+    DOMAIN, and the prerequisite-accepts rule admits the out-of-scope
+    login host."""
+    creds = (("h0.example", "http://auth.other/login"),)
+    web = {u: s for u, s in FX.synth_web_rows(H, 3)}
+    web["http://auth.other/login"] = [("text", "sso", None, 0)]
+    seeds = FX.seed_lines(H)
+    sim_log, _ = simulate(web, seeds, SimConfig(form_credentials=creds))
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "xdom"),
+        spark.createDataFrame(list(web.items()), FX.DOCUMENTS_SCHEMA),
+        CrawlConfig(
+            num_buckets=4, ordinal_partitions=1, bloom=False,
+            form_credentials=creds,
+        ),
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=60)
+    assert _eng_rows(eng_log) == _sim_rows(sim_log)
+    succ = {l["canonical"] for l in sim_log if l["disposition"] == "success"}
+    assert "http://auth.other/login" in succ  # out-of-scope host, prereq-accepted
+    assert "http://h0.example/p0" in succ
+
+
+def test_form_auth_failed_login_keeps_deferring(spark, tmp_path):
+    """A login URI that never succeeds (404) keeps the guarded pages
+    deferring — truncated-run parity (both sides stopped at 5 rounds)."""
+    creds = (("h0.example", "http://h0.example/nologin"),)
+    web = {u: s for u, s in FX.synth_web_rows(H, 2)}
+    seeds = FX.seed_lines(H)
+    sim_log, _ = simulate(
+        web, seeds, SimConfig(form_credentials=creds, max_rounds=5)
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "badlogin"),
+        FX.synth_web_df(spark, H, 2),
+        CrawlConfig(
+            num_buckets=4, ordinal_partitions=1, bloom=False,
+            form_credentials=creds,
+        ),
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=5)
+    assert _eng_rows(eng_log) == _sim_rows(sim_log)
+    h0_rows = [l for l in sim_log if l["canonical"] == "http://h0.example/p0"]
+    assert all(l["fetch_status"] == -50 and l["disposition"] == "retry" for l in h0_rows)
+    assert any(
+        l["canonical"] == "http://h0.example/nologin" and l["fetch_status"] == 404
+        for l in sim_log
+    )
