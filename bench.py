@@ -108,20 +108,32 @@ def bench_schedule_pipeline(spark, state_dir: str) -> dict:
     }
 
 
-def bench_crawl_rounds(spark, state_dir: str, rounds: int = 3) -> dict:
+def bench_crawl_rounds(
+    spark,
+    state_dir: str,
+    rounds: int = 3,
+    hosts: int = 400,
+    pages: int = 40,
+    hot_factor: int = 20,
+    shuffle: int = 8,
+) -> dict:
     """Engine rounds on the bench web (hot host exercises salting/AQE).
 
     Rounds at sandbox scale are fixed-overhead-bound (each round is a full
     DAG of ~10 jobs); wide rounds (many hosts × k) amortize it — which is
     exactly the 1000-executor regime, where a round covers millions of
-    hosts. Shuffle partitions drop to 8 for this section (tiny per-round
-    volumes), restored after.
+    hosts. Two standing shapes: the 400×40 narrow round (fixed-overhead
+    regime) and the 2000×16 wide round (amortized regime — the one that
+    matters at cluster scale; regressions there were invisible to the
+    narrow shape). Shuffle partitions drop for this section (tiny
+    per-round volumes), restored after.
     """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
     try:
         web = FX.synth_web_df(
-            spark, hosts=400, pages=40, hot_host=0, hot_factor=20, num_partitions=CPUS
+            spark, hosts=hosts, pages=pages, hot_host=0, hot_factor=hot_factor,
+            num_partitions=CPUS,
         )
         eng = CrawlEngine(
             spark,
@@ -130,7 +142,7 @@ def bench_crawl_rounds(spark, state_dir: str, rounds: int = 3) -> dict:
             CrawlConfig(num_buckets=16, ordinal_partitions=1, k_per_host=16, bloom=True),
         )
         t0 = time.time()
-        eng.bootstrap(FX.seed_lines(400))
+        eng.bootstrap(FX.seed_lines(hosts))
         done = 0
         for _ in range(rounds):
             if not eng.run_round():
@@ -164,6 +176,13 @@ def main() -> None:
         queries["schedule_pipeline"] = sched["sec"]
         crawl = bench_crawl_rounds(spark, os.path.join(tmp, "crawl"))
         queries["crawl_rounds"] = crawl["sec"]
+        # the amortized regime: 2000 hosts x 16 pages, k=16 — one round
+        # emits ~32k rows across 2000 queues (standing row since r4)
+        crawl_wide = bench_crawl_rounds(
+            spark, os.path.join(tmp, "crawl_wide"),
+            rounds=2, hosts=2000, pages=16, hot_factor=1, shuffle=16,
+        )
+        queries["crawl_rounds_wide"] = crawl_wide["sec"]
 
     # operator queries on the sf tables
     import importlib.util
@@ -204,6 +223,7 @@ def main() -> None:
                 "cpus": CPUS,
                 "schedule_pipeline": sched,
                 "crawl_rounds": crawl,
+                "crawl_rounds_wide": crawl_wide,
             }
         )
     )
