@@ -1565,7 +1565,7 @@ class CrawlEngine:
         )
         cand = outlinks.select(
             F.col("url").alias("uri"),
-            F.concat(F.col("parent_hops"), F.col("hop")).alias("hops_path"),
+            SC.extend_hops_path_col(F.col("parent_hops"), F.col("hop")).alias("hops_path"),
             F.col("parent_uri").alias("via"),
             F.col("context").alias("via_context"),
             F.lit(FR.NORMAL).alias("sched_directive"),
@@ -1595,7 +1595,7 @@ class CrawlEngine:
             )
             extra = tx.select(
                 F.col("l.url").alias("uri"),
-                F.concat(F.col("parent_hops"), F.col("l.hop")).alias("hops_path"),
+                SC.extend_hops_path_col(F.col("parent_hops"), F.col("l.hop")).alias("hops_path"),
                 F.col("parent_uri").alias("via"),
                 F.col("l.context").alias("via_context"),
                 F.lit(FR.NORMAL).alias("sched_directive"),
@@ -1637,7 +1637,7 @@ class CrawlEngine:
                 ).otherwise(prereq_uri)
             prereqs = fetched.filter(F.col("fetch_status") == FR.S_DEFERRED).select(
                 prereq_uri.alias("uri"),
-                F.concat(F.col("hops_path"), F.lit("P")).alias("hops_path"),
+                SC.extend_hops_path_col(F.col("hops_path"), F.lit("P")).alias("hops_path"),
                 F.col("canonical").alias("via"),
                 F.lit("prereq").alias("via_context"),
                 F.lit(FR.HIGHEST).alias("sched_directive"),

@@ -94,14 +94,67 @@ def surt_prefixed(uri: Column, prefixes: list[str], decision: int = ACCEPT) -> C
     return F.when(hit, F.lit(decision)).otherwise(F.lit(NONE))
 
 
-def too_many_hops(hops_path: Column, max_hops: int = 20) -> Column:
-    """TooManyHopsDecideRule.java:69: REJECT if hop count > maxHops.
+# --- hops-path display truncation (CrawlURI.extendHopsPath :1519-1526 +
+# getHopCount :625-638): past MAX_HOPS_DISPLAYED symbols the path becomes
+# "<overflow>+<last MAX-1 symbols><new>", a sliding window with a count
+# prefix; hop count = overflow + symbols after '+'.
+MAX_HOPS_DISPLAYED = 50
 
-    Hop count = length of hops_path (CrawlURI.getHopCount, :625-628;
-    the '+'-prefixed overflow form never occurs in our engine because we
-    keep full paths).
-    """
-    return F.when(F.length(hops_path) > max_hops, F.lit(REJECT)).otherwise(F.lit(NONE))
+
+def extend_hops_path(path: str, hop: str) -> str:
+    """Scalar extendHopsPath (byte-exact Java law)."""
+    if len(path) < MAX_HOPS_DISPLAYED:
+        return path + hop
+    plus = path.find("+")
+    prev = 0 if plus < 0 else int(path[:plus])
+    return f"{prev + 1}+{path[plus + 2:]}{hop}"
+
+
+def extend_hops_path_col(path: Column, hop: Column) -> Column:
+    """Column twin of :func:`extend_hops_path`. ``instr`` is 1-based (0 =
+    absent): Java ``substring(plusIndex+2)`` maps to ``substr(instr+2)``
+    for both the absent (-1 -> drop first symbol) and present cases."""
+    plus = F.instr(path, "+")
+    prev = F.when(
+        plus > 0, F.substring_index(path, "+", 1).cast("int")
+    ).otherwise(F.lit(0))
+    slid = F.concat(
+        (prev + 1).cast("string"),
+        F.lit("+"),
+        path.substr(plus + F.lit(2), F.lit(1 << 20)),
+        hop,
+    )
+    return F.when(
+        F.length(path) < MAX_HOPS_DISPLAYED, F.concat(path, hop)
+    ).otherwise(slid)
+
+
+def hop_count(path: str) -> int:
+    """Scalar getHopCount."""
+    if len(path) <= MAX_HOPS_DISPLAYED:
+        return len(path)
+    plus = path.find("+")
+    if plus < 0:
+        return len(path)
+    return int(path[:plus]) + len(path) - (plus + 1)
+
+
+def hop_count_col(path: Column) -> Column:
+    plus = F.instr(path, "+")
+    prev = F.when(
+        plus > 0, F.substring_index(path, "+", 1).cast("int")
+    ).otherwise(F.lit(0))
+    return F.when(
+        (F.length(path) <= MAX_HOPS_DISPLAYED) | (plus == 0), F.length(path)
+    ).otherwise(prev + F.length(path) - plus)
+
+
+def too_many_hops(hops_path: Column, max_hops: int = 20) -> Column:
+    """TooManyHopsDecideRule.java:69: REJECT if hop count > maxHops, where
+    hop count honors the '+'-overflow display form (getHopCount law)."""
+    return F.when(hop_count_col(hops_path) > max_hops, F.lit(REJECT)).otherwise(
+        F.lit(NONE)
+    )
 
 
 def transclusion(

@@ -40,6 +40,8 @@ from dataclasses import dataclass, field
 from heritrix3_spark.fp import create_key
 from heritrix3_spark.functions.canonicalize import canonicalize
 from heritrix3_spark.functions.surt import surt, surt_authority_class_key
+from heritrix3_spark.operators.scope import extend_hops_path as _ehp
+from heritrix3_spark.operators.scope import hop_count as _hop_count
 
 # scheduling constants
 HIGHEST, HIGH, MEDIUM, NORMAL = 0, 1, 2, 3
@@ -151,7 +153,7 @@ def _scope_ok(uri: str, hops_path: str, prefixes: list[str], max_hops: int) -> b
     s = surt(uri)
     if any(s.startswith(p) for p in prefixes):
         decision = 1
-    if len(hops_path) > max_hops:
+    if _hop_count(hops_path) > max_hops:
         decision = -1
     # transclusion
     tail = hops_path
@@ -501,7 +503,7 @@ def simulate(
                                 curi.ordinal,
                                 -1,
                                 prereq,
-                                curi.hops_path + "P",
+                                _ehp(curi.hops_path, "P"),
                                 curi.canonical,
                                 HIGHEST,
                                 False,
@@ -783,7 +785,7 @@ def simulate(
                         candidates.append(
                             (
                                 curi.ordinal, offset, url,
-                                curi.hops_path + hop, curi.uri, NORMAL,
+                                _ehp(curi.hops_path, hop), curi.uri, NORMAL,
                                 curi.is_seed, False, curi.data,
                             )
                         )
@@ -830,7 +832,7 @@ def simulate(
                             candidates.append(
                                 (
                                     curi.ordinal, idx2, url2,
-                                    curi.hops_path + hop2, curi.uri, NORMAL,
+                                    _ehp(curi.hops_path, hop2), curi.uri, NORMAL,
                                     curi.is_seed, False, curi.data,
                                 )
                             )

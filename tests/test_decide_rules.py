@@ -118,3 +118,79 @@ def test_policy_udf(spark):
     )
     got = [r.a for r in df.select(udf(F.col("body"), F.col("ua"), F.col("path")).alias("a")).collect()]
     assert got == [True, False]
+
+
+# -- hops-path display truncation (round 4) --------------------------------
+def test_extend_hops_path_law(spark):
+    """CrawlURI.extendHopsPath/getHopCount byte-exact vectors + Column
+    twins: sliding 49-symbol window behind an overflow-count prefix."""
+    from pyspark.sql import functions as F
+
+    from heritrix3_spark.operators import scope as SC
+
+    p = ""
+    for _ in range(49):
+        p = SC.extend_hops_path(p, "L")
+    assert p == "L" * 49 and SC.hop_count(p) == 49
+    p50 = SC.extend_hops_path(p, "E")  # len 49 < 50 -> plain append
+    assert p50 == "L" * 49 + "E" and SC.hop_count(p50) == 50
+    p51 = SC.extend_hops_path(p50, "X")  # overflow engages: drop 1st, "1+"
+    assert p51 == "1+" + p50[1:] + "X"
+    assert SC.hop_count(p51) == 51
+    p52 = SC.extend_hops_path(p51, "R")  # window slides, count bumps
+    assert p52 == "2+" + p51[3:] + "R"
+    assert SC.hop_count(p52) == 52
+    assert p52.endswith("XR") and len(p52) == 52
+    # Column twins agree on every vector
+    rows = [(pp, h) for pp, h in ((p, "E"), (p50, "X"), (p51, "R"), (p52, "P"))]
+    df = spark.createDataFrame(rows, "path string, hop string")
+    got = df.select(
+        SC.extend_hops_path_col(F.col("path"), F.col("hop")).alias("ext"),
+        SC.hop_count_col(F.col("path")).alias("n"),
+        "path", "hop",
+    ).collect()
+    for r in got:
+        assert r.ext == SC.extend_hops_path(r.path, r.hop)
+        assert r.n == SC.hop_count(r.path)
+
+
+def test_deep_chain_truncation_parity(spark, tmp_path):
+    """A 58-deep link chain with maxHops=54: the displayed path truncates
+    past 50 symbols but TooManyHops still rejects by the REAL hop count
+    (getHopCount overflow law) — a length-based check would never fire
+    once the display caps. Engine == simulator row-exactly."""
+    from heritrix3_spark import fixtures as FX
+    from heritrix3_spark.crawler import CrawlConfig, CrawlEngine
+    from heritrix3_spark.simulator import SimConfig, simulate
+
+    n = 58
+    web = {
+        f"http://chain.example/c{i}": [
+            ("text", f"page {i}", None, 0),
+            ("link", "next", f"/c{i + 1}", 1),
+        ]
+        for i in range(n)
+    }
+    seeds = ["http://chain.example/c0"]
+    sim_log, _ = simulate(web, seeds, SimConfig(max_hops=54))
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "chain"),
+        spark.createDataFrame(list(web.items()), FX.DOCUMENTS_SCHEMA),
+        CrawlConfig(num_buckets=2, ordinal_partitions=1, bloom=False, max_hops=54),
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=70)
+    sim_rows = sorted(
+        (l["round"], l["canonical"], l["ordinal"], l["disposition"])
+        for l in sim_log
+    )
+    eng_rows = sorted(
+        (r.round, r.canonical, r.ordinal, r.disposition)
+        for r in eng_log.collect()
+    )
+    assert eng_rows == sim_rows
+    crawled = {l["canonical"] for l in sim_log}
+    deepest = max(int(c.rsplit("c", 1)[1]) for c in crawled)
+    # c_i carries i hops; REJECT when hops > 54 -> c54 is the deepest
+    assert deepest == 54
