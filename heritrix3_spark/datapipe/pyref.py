@@ -178,6 +178,34 @@ def lsh_topk(
     return [(0, r + 1, vid) for r, (_, vid) in enumerate(scored[:k])]
 
 
+def ivf_centroids(dim: int, n_cells: int) -> np.ndarray:
+    rng = np.random.RandomState(7)
+    c = rng.standard_normal((n_cells, dim))
+    return np.array([row / (np.linalg.norm(row) or 1.0) for row in c])
+
+
+def ivf_topk(
+    embeddings: dict[int, list[float]],
+    query: list[float],
+    dim: int,
+    k: int,
+    n_cells: int,
+    nprobe: int,
+) -> list[tuple[int, int, int]]:
+    """(query_id=0, rank, vec_id) of the IVF-ANN law: candidates live in
+    the query's top-nprobe coarse cells; exact cosine rank inside."""
+    c = ivf_centroids(dim, n_cells)
+    qn = _norm(np.asarray(query, dtype=np.float64))
+    probe = set(int(i) for i in np.argsort(-(c @ qn))[:nprobe])
+    scored = []
+    for vid in sorted(embeddings):
+        vn = _norm(np.asarray(embeddings[vid], dtype=np.float64))
+        if int(np.argmax(c @ vn)) in probe:
+            scored.append((-float(qn @ vn), vid))
+    scored.sort()
+    return [(0, r + 1, vid) for r, (_, vid) in enumerate(scored[:k])]
+
+
 def near_dup_pairs(
     embeddings: dict[int, list[float]], dim: int, threshold: float, bits: int
 ) -> list[tuple[int, int]]:

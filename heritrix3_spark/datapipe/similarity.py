@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -162,6 +163,161 @@ def lsh_cosine_topk(
             )
 
     scored = cand.select("query_id", id_col, vec_col).mapInPandas(score, schema=_SCORE_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the task brief's named alternative scale path:
+# coarse-quantize vectors to centroid cells, probe only the query's
+# top-nprobe cells. Candidates ~ nprobe * N / n_cells per query; centroids
+# are small (n_cells x dim) and broadcast; the scored remainder reuses the
+# LSH path's shape (mapInPandas rescoring + window top-k, never a cross
+# join). Deterministic seeded centroids make the whole path reproducible
+# (the oracle twin recomputes bit-identical centroids); optional Lloyd
+# refinement (`ivf_refine_centroids`) trains them distributedly — partial
+# per-partition sums, driver combine — for production recall.
+# ---------------------------------------------------------------------------
+def ivf_centroids(dim: int, n_cells: int) -> np.ndarray:
+    """Deterministic unit-norm coarse centroids (fixed-seed generator)."""
+    rng = np.random.RandomState(7)
+    return _normalize(rng.standard_normal((n_cells, dim)))
+
+
+def ivf_assign_data(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid cell ids by cosine (rows pre-normalized)."""
+    return np.argmax(_normalize(mat) @ centroids.T, axis=1).astype(np.int32)
+
+
+def add_ivf_cells(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the coarse cell id (column ``ivf_cell``) — one pass, no
+    shuffle; centroids broadcast once per executor."""
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    out_schema = StructType(
+        embeddings.schema.fields + [StructField("ivf_cell", IntegerType())]
+    )
+
+    def assign(pdf_iter):
+        c = bc.value
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            pdf = pdf.copy()
+            pdf["ivf_cell"] = ivf_assign_data(mat, c)
+            yield pdf
+
+    return embeddings.mapInPandas(assign, schema=out_schema)
+
+
+def ivf_refine_centroids(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> np.ndarray:
+    """Lloyd refinement: per-partition partial (sum, count) per cell via
+    mapInPandas, combined on the driver (centroid state is n_cells x dim —
+    tiny), empty cells keep their seed. Shuffle-free per iteration."""
+    spark = embeddings.sparkSession
+    n_cells, dim = centroids.shape
+    part_schema = StructType(
+        [
+            StructField("cell", IntegerType(), False),
+            StructField("n", LongType(), False),
+            StructField("sums", ArrayType(DoubleType()), False),
+        ]
+    )
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def partials(pdf_iter):
+            c = bc.value
+            acc_n = np.zeros(c.shape[0], dtype=np.int64)
+            acc_s = np.zeros_like(c)
+            for pdf in pdf_iter:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                cells = ivf_assign_data(mat, c)
+                np.add.at(acc_n, cells, 1)
+                np.add.at(acc_s, cells, _normalize(mat))
+            hit = np.nonzero(acc_n)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": hit.astype(np.int32),
+                    "n": acc_n[hit],
+                    "sums": [acc_s[i].tolist() for i in hit],
+                }
+            )
+
+        rows = (
+            embeddings.select(vec_col)
+            .mapInPandas(partials, schema=part_schema)
+            .collect()
+        )
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        for r in rows:
+            sums[r.cell] += np.array(r.sums)
+            counts[r.cell] += r.n
+        refined = centroids.copy()
+        nz = counts > 0
+        refined[nz] = sums[nz] / counts[nz, None]
+        centroids = _normalize(refined)
+    return centroids
+
+
+def ivf_topk(
+    embeddings_with_cells: DataFrame,
+    queries: list[list[float]],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: exact cosine rescoring over the rows of each query's
+    top-``nprobe`` cells only. Returns (query_id, vec_id, score, rank)."""
+    qm = _normalize(np.array(queries, dtype=np.float64))
+    cell_scores = qm @ centroids.T
+    order = np.argsort(-cell_scores, axis=1)[:, :nprobe]
+    probe_rows = [
+        (qid, int(c)) for qid in range(qm.shape[0]) for c in order[qid]
+    ]
+    spark = embeddings_with_cells.sparkSession
+    probes = spark.createDataFrame(probe_rows, ["query_id", "ivf_cell"]).distinct()
+    cand = embeddings_with_cells.join(F.broadcast(probes), "ivf_cell")
+    bq = spark.sparkContext.broadcast(qm)
+
+    def score(pdf_iter):
+        q = bq.value
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            qids = pdf["query_id"].to_numpy()
+            scores = np.einsum("ij,ij->i", q[qids], mat)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids.astype(np.int32),
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "score": scores,
+                }
+            )
+
+    scored = cand.select("query_id", id_col, vec_col).mapInPandas(
+        score, schema=_SCORE_SCHEMA
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
