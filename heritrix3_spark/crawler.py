@@ -33,7 +33,7 @@ Scale design (10^10-URL frontier):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -134,6 +134,17 @@ class CrawlConfig:
     # CrawlLimitEnforcer (framework/CrawlLimitEnforcer.java): stop the crawl
     # once this many URIs have been fetched (-1 = unlimited)
     max_fetches: int = -1
+    # WARCLimitEnforcer (contrib postprocessor/WARCLimitEnforcer.java:
+    # 88-113): {record_type: {stat_key: limit}} over the WARC-writer
+    # running stats, mirroring BaseWARCWriterProcessor.getStats()'s
+    # {"response"|"revisit"|"totals": {"numRecords"|"contentBytes"|
+    # "totalBytes": n}} shape. Checked at round end against totals
+    # accumulated from each round's documents-sink batch; any stat at or
+    # past its limit stops the crawl with FINISHED_WRITE_LIMIT. A
+    # "revisit" record is a duplicate:digest rewrite (requires
+    # digest_history=True; without it every persisted record counts as
+    # "response"). Empty dict = off.
+    warc_limits: dict = field(default_factory=dict)
     # URIAuthorityBasedQueueAssignmentPolicy parallelQueues: split each
     # authority into N sub-queues keyed by first path segment (hot-host
     # salting, the reference's own skew defeat). 1 = off (exact parity).
@@ -369,6 +380,11 @@ class CrawlEngine:
         self.total_fetched = 0
         self.seed_prefixes: list[str] = []
         self.prefix_join_mode = False
+        # WARCLimitEnforcer running stats (BaseWARCWriterProcessor.getStats()
+        # shape) and the CrawlStatus the crawl stopped with (None = running
+        # or finished normally)
+        self._warc_stats: dict[str, dict[str, int]] = {}
+        self.stop_status: str | None = None
         # frames persisted for the duration of one round (freed at round end)
         self._round_caches: list[DataFrame] = []
 
@@ -713,6 +729,60 @@ class CrawlEngine:
         )
         self.digest_t.append(new_digests)
         base.unpersist()
+
+    def _update_warc_stats(self, fetched_ok: DataFrame) -> None:
+        """WARC-writer running stats (BaseWARCWriterProcessor.addStats,
+        BaseWARCWriterProcessor.java:149-167; the key shape is pinned by
+        WARCWriterProcessorTest.java:181-188): per record type
+        ``{"numRecords", "contentBytes", "totalBytes"}`` plus the
+        ``"totals"`` roll-up. The documents sink persists one record per
+        2xx fetch; when digest history is on, a fetch whose payload digest
+        was seen before becomes a ``revisit`` record (the
+        WARCWriterProcessor revisit path), otherwise every record is a
+        ``response``. ``totalBytes`` equals ``contentBytes`` here — the
+        engine models no request/metadata side-records or WARC header
+        overhead. One 2-group aggregate per round; driver cost O(1)."""
+        if "__revisit" in fetched_ok.columns:
+            rtype = F.when(F.col("__revisit"), F.lit("revisit")).otherwise(
+                F.lit("response")
+            )
+        else:
+            rtype = F.lit("response")
+        rows = (
+            fetched_ok.groupBy(rtype.alias("rtype"))
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum(self._content_size_col()), F.lit(0)).alias(
+                    "cb"
+                ),
+            )
+            .collect()
+        )
+        for r in rows:
+            for rt in (r["rtype"], "totals"):
+                bucket = self._warc_stats.setdefault(
+                    rt, {"numRecords": 0, "contentBytes": 0, "totalBytes": 0}
+                )
+                bucket["numRecords"] += int(r["n"])
+                bucket["contentBytes"] += int(r["cb"])
+                bucket["totalBytes"] += int(r["cb"])
+
+    def _warc_limit_hit(self) -> bool:
+        """WARCLimitEnforcer.innerProcess (contrib WARCLimitEnforcer.java:
+        87-114): any configured ``limits[type][key]`` with accumulated
+        ``stats[type][key] >= limit`` requests a crawl stop with
+        FINISHED_WRITE_LIMIT. The reference checks after every URI write;
+        the macro-batch engine checks the same accumulated stats once per
+        round (a round may therefore overshoot by at most one batch, as
+        the reference overshoots by the in-flight URI)."""
+        for rtype, keys in self.cfg.warc_limits.items():
+            bucket = self._warc_stats.get(rtype)
+            if not bucket:
+                continue
+            for key, limit in keys.items():
+                if key in bucket and bucket[key] >= limit:
+                    return True
+        return False
 
     def _attach_revisit(self, fetched: DataFrame) -> DataFrame:
         """Adds ``__digest`` and ``__revisit``: a success whose payload
@@ -1525,6 +1595,8 @@ class CrawlEngine:
                 "content_type",
             )
         )
+        if cfg.warc_limits:
+            self._update_warc_stats(fetched_ok)
         timer.mark("documents-append")
 
         # --- outlink extraction -> scope -> prepare -> dedup -------------
@@ -2195,8 +2267,14 @@ class CrawlEngine:
         self._round_caches.clear()
         self.round += 1
         self._checkpoint()
+        if cfg.warc_limits and self._warc_limit_hit():
+            # WARCLimitEnforcer: stop crawl (CrawlStatus.FINISHED_WRITE_LIMIT)
+            self.stop_status = "FINISHED_WRITE_LIMIT"
+            return False
         if cfg.max_fetches >= 0 and self.total_fetched >= cfg.max_fetches:
-            return False  # CrawlLimitEnforcer: stop crawl
+            # CrawlLimitEnforcer: stop crawl (CrawlStatus.FINISHED_DOCUMENT_LIMIT)
+            self.stop_status = "FINISHED_DOCUMENT_LIMIT"
+            return False
         return True
 
     def run(self, max_rounds: int | None = None) -> DataFrame:
@@ -2374,6 +2452,7 @@ class CrawlEngine:
                 "prefix_join_mode": self.prefix_join_mode,
                 "approx_seen": self.urlseen.approx_seen,
                 "total_fetched": self.total_fetched,
+                "warc_stats": self._warc_stats,
             },
         )
 
@@ -2402,6 +2481,7 @@ class CrawlEngine:
         eng.prefix_join_mode = st.get("prefix_join_mode", False)
         eng.urlseen.approx_seen = st.get("approx_seen", 0)
         eng.total_fetched = st.get("total_fetched", 0)
+        eng._warc_stats = st.get("warc_stats", {})
         # roll tables back to the checkpointed snapshot (time-travel) by
         # re-committing those versions as latest when newer ones exist.
         # ver == 0 is a valid target (table/delta did not exist yet): the

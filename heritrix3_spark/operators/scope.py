@@ -391,6 +391,29 @@ def scripted(predicate: Column, decision: int = ACCEPT) -> Column:
     return F.when(predicate, F.lit(decision)).otherwise(F.lit(NONE))
 
 
+def expression_rule(expression: str, decision: int = ACCEPT) -> Column:
+    """ExpressionDecideRule (contrib deciderules/ExpressionDecideRule.java:
+    38-76): the reference templates a Groovy expression over ``curi`` and
+    matches when it renders exactly "true". The Spark-native equivalent of
+    a user-supplied expression over the candidate is an ANSI-SQL boolean
+    expression over the candidate columns — the reference's own documented
+    example
+
+        curi.via == null && curi ==~ "^https?://(?:www\\.)?...$"
+
+    is written here as
+
+        via IS NULL AND uri RLIKE '^https?://(?:www\\.)?...$'
+
+    Catalyst parses it into the same codegen'd predicate a hand-built
+    Column would produce, so the rule is free at scan time (and still
+    benefits from pushdown). A NULL result renders as not-"true" -> NONE,
+    mirroring ``String.valueOf(true).equals(...)``.
+    """
+    pred = F.coalesce(F.expr(expression).cast("boolean"), F.lit(False))
+    return F.when(pred, F.lit(decision)).otherwise(F.lit(NONE))
+
+
 def decide_sequence(*rules: Column) -> Column:
     """Fold: last non-NONE wins; all-NONE -> REJECT (out of scope)."""
     nullified = [F.when(r != NONE, r) for r in reversed(rules)]

@@ -42,11 +42,32 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
+#: the full persisted event row — EVENTS_SCHEMA plus the crawl.log detail
+#: columns (annotation / source seed / mimetype / size) that feed
+#: publishers need (CrawlLogJsonBuilder field set). Kept separate so the
+#: dashboard aggregates keep their pruned 9-column scan.
+FULL_EVENTS_SCHEMA = StructType(
+    list(EVENTS_SCHEMA.fields)
+    + [
+        StructField("annotation", StringType(), True),
+        StructField("source_tag", StringType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("content_length", LongType(), True),
+    ]
+)
 
-def journal_stream(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Streaming DataFrame over the crawl's events table (all snapshots)."""
+
+def journal_stream(
+    spark: SparkSession, state_dir: str, full: bool = False
+) -> DataFrame:
+    """Streaming DataFrame over the crawl's events table (all snapshots).
+
+    ``full=True`` reads the complete event row (FULL_EVENTS_SCHEMA) for
+    record-shaped consumers like ``crawl_log_feed``; the default pruned
+    schema keeps dashboard aggregates cheap."""
+    schema = FULL_EVENTS_SCHEMA if full else EVENTS_SCHEMA
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 64)
         .parquet(f"{state_dir}/events/v*")
     )

@@ -65,6 +65,29 @@ def test_file_pattern_and_postfetch_rules(spark):
     assert _vals(spark, SC.scripted(F.col("uri").contains("pdf"))) == [0, 0, 0, 1]
 
 
+def test_expression_rule(spark):
+    """ExpressionDecideRule (contrib ExpressionDecideRule.java:38-76): the
+    reference's documented example — a Groovy expression over curi.via and
+    a URI regex — written as its ANSI-SQL equivalent."""
+    expr = r"via IS NULL AND uri RLIKE '^https?://[^/]*other\\.org/.*$'"
+    assert _vals(spark, SC.expression_rule(expr)) == [0, 1, 0, 0]
+    # arbitrary column predicates, custom decision
+    assert _vals(
+        spark, SC.expression_rule("content_length > 1000", decision=SC.REJECT)
+    ) == [-1, -1, -1, 0]
+    # NULL evaluation (via RLIKE on a null via) renders not-"true" -> NONE,
+    # mirroring String.valueOf(result).equals("true")
+    assert _vals(spark, SC.expression_rule("via RLIKE 'shop'")) == [1, 0, 0, 0]
+
+
+def test_expression_rule_in_sequence(spark):
+    seq = SC.decide_sequence(
+        F.lit(SC.ACCEPT),
+        SC.expression_rule("fetch_status >= 400", decision=SC.REJECT),
+    )
+    assert _vals(spark, (seq == SC.ACCEPT).cast("int")) == [1, 0, 1, 1]
+
+
 def test_rules_fold_into_sequence(spark):
     # accept shop.example domain, but reject anything video-patterned
     seq = SC.decide_sequence(
