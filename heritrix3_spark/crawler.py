@@ -101,6 +101,16 @@ class CrawlConfig:
     preference_embed_hops: int = 1
     num_buckets: int = 32
     bloom: bool = True
+    # URL-seen prefilter family (north rule "bloom/cuckoo-filter URL-seen"):
+    # "bloom" = per-bucket bloom shards (~1% fp, 10 bits/key);
+    # "cuckoo" = per-bucket cuckoo-filter shards (Fan et al. 2014; ~0.01%
+    # fp at ~19 bits/key, true deletion on forget). Both probe via the same
+    # cogrouped never-broadcast shape; `bloom=False` disables either.
+    seen_filter: str = "bloom"
+    # engage the prefilter probe only once the seen set is at least this
+    # big (below it the exact anti-join alone is cheaper than the extra
+    # cogroup stage); tests set 0 to exercise the probe immediately
+    prefilter_min_seen: int = 200_000
     ordinal_partitions: int = 8
     # robots policy: "ignore" (IgnoreRobotsPolicy) or "obey" (ObeyRobotsPolicy
     # + PreconditionEnforcer.considerRobotsPreconditions semantics,
@@ -316,7 +326,13 @@ class CrawlEngine:
         self.catalog = SnapshotCatalog(state_dir)
         self.web = web
         self.cfg = config or CrawlConfig()
-        self.urlseen = UrlSeen(self.catalog, num_buckets=self.cfg.num_buckets, bloom=self.cfg.bloom)
+        self.urlseen = UrlSeen(
+            self.catalog,
+            num_buckets=self.cfg.num_buckets,
+            bloom=self.cfg.bloom,
+            bloom_min_seen=self.cfg.prefilter_min_seen,
+            kind=self.cfg.seen_filter,
+        )
         # frontier is merge-on-read keyed by ordinal (the row's unique id —
         # fp can twin under forceFetch): novel rows ride the insert fast
         # path, emitted rows tombstone, retries/quota-requeues upsert.
@@ -2437,6 +2453,7 @@ class CrawlEngine:
                 "metrics": self.metrics_t.latest_version(),
                 "url_seen": self.urlseen.table.latest_version(),
                 "url_seen_bloom": self.urlseen.bloom_table.latest_version(),
+                "url_seen_cuckoo": self.urlseen.cuckoo_table.latest_version(),
                 "url_seen_forgot": self.urlseen.forgot_t.latest_version(),
                 "futures": self.futures_t.latest_version(),
                 "quota_stats": self.quota_t.latest_version(),

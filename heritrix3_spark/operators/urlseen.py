@@ -31,6 +31,11 @@ bucketed fingerprint table:
   (~10 bits/key, power-of-two), so the filter keeps its ~1% false-positive
   rate as the seen set grows instead of saturating at a fixed size.
   Candidates whose probe says "definitely new" skip the exact anti-join.
+* alternatively a **partitioned cuckoo filter** (``kind="cuckoo"``;
+  operators/cuckoo.py, Fan et al. 2014) with the identical cogrouped
+  probe shape: ~0.01% false-positive rate at ~19 bits/key, and true
+  deletion — `forget` removes the fp's tag from the filter, so forgotten
+  URLs become definitely-new again instead of permanent maybe-seen hits.
 
 Scale notes (10^10 URLs ≈ 80 GB of fingerprints): bucket count should be
 O(10^3-10^4) so each bucket's parquet file group stays ~10-100 MB; the
@@ -55,6 +60,7 @@ from pyspark.sql.types import (
 )
 
 from heritrix3_spark.fp import create_key_batch
+from heritrix3_spark.operators import cuckoo as CK
 from heritrix3_spark.storage import SnapshotCatalog
 
 SEEN_SCHEMA = StructType(
@@ -126,10 +132,20 @@ class UrlSeen:
         bloom: bool = True,
         bloom_bits_per_bucket: int = 1 << 14,
         bloom_min_seen: int = 200_000,
+        kind: str = "bloom",
     ):
+        if kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown prefilter kind {kind!r}")
         self.catalog = catalog
         self.table = catalog.table("url_seen")
         self.bloom_table = catalog.table("url_seen_bloom")
+        # cuckoo prefilter shards (north rule's "bloom/cuckoo" alternative;
+        # Fan et al. 2014 via operators/cuckoo.py): same cogrouped-probe
+        # plumbing as bloom, ~0.01% fp rate at ~19 bits/key, and REAL
+        # deletion — a forgotten fp is removed from the filter instead of
+        # remaining a permanent maybe-seen hit
+        self.cuckoo_table = catalog.table("url_seen_cuckoo")
+        self.kind = kind
         # forget tombstones (merge-on-read): admin forgets append here
         # instead of rewriting the seen table; reads subtract, compaction
         # folds. Bloom shards are NOT rebuilt on forget — a forgotten fp
@@ -193,16 +209,18 @@ class UrlSeen:
         spark = candidates.sparkSession
         if not self.table.exists():
             return candidates
-        use_bloom = (
+        shard_t = self.cuckoo_table if self.kind == "cuckoo" else self.bloom_table
+        use_prefilter = (
             self.bloom
-            and self.bloom_table.exists()
+            and shard_t.exists()
             and self.approx_seen >= self.bloom_min_seen
         )
-        if use_bloom:
+        if use_prefilter:
             cand = candidates.withColumn(
                 "__bucket", bucket_col(F.col(fp_field), self.num_buckets)
             )
-            cand = self._bloom_split(spark, cand, fp_field)
+            split = self._cuckoo_split if self.kind == "cuckoo" else self._bloom_split
+            cand = split(spark, cand, fp_field)
             # rows flagged maybe-seen need the exact check; definite-new pass
             maybe = cand.filter(F.col("__maybe_seen")).drop("__maybe_seen", "__bucket")
             fresh = cand.filter(~F.col("__maybe_seen")).drop("__maybe_seen", "__bucket")
@@ -251,6 +269,35 @@ class UrlSeen:
             .applyInPandas(probe, schema=out_schema)
         )
 
+    def _cuckoo_split(
+        self, spark: SparkSession, cand: DataFrame, fp_field: str
+    ) -> DataFrame:
+        """Attach ``__maybe_seen`` via the bucket's cuckoo shards — the same
+        cogrouped never-broadcast shape as `_bloom_split`, but probing
+        16-bit tag tables (operators/cuckoo.py): a fp is maybe-seen if ANY
+        shard holds its tag in either candidate bucket."""
+        shards = self.cuckoo_table.read(spark).select("bucket", "m", "table")
+        out_schema = StructType(
+            list(cand.schema.fields) + [StructField("__maybe_seen", BooleanType(), False)]
+        )
+
+        def probe(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+            out = cand_pdf
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+            if len(shard_pdf):
+                fps = cand_pdf[fp_field].to_numpy(dtype=np.int64)
+                for raw, m in zip(shard_pdf["table"], shard_pdf["m"]):
+                    arr = np.frombuffer(raw, dtype=np.uint16).reshape(-1, CK.SLOTS)
+                    maybe |= CK.contains(fps, arr, int(m))
+            out["__maybe_seen"] = maybe
+            return out
+
+        return (
+            cand.groupBy("__bucket")
+            .cogroup(shards.groupBy("bucket"))
+            .applyInPandas(probe, schema=out_schema)
+        )
+
     # -- writes -------------------------------------------------------------
     def add_fps(
         self,
@@ -280,7 +327,11 @@ class UrlSeen:
             # a re-added fp cancels its forget tombstone (rare admin state;
             # crawls that never forget skip this entirely)
             new = new.persist()
-            self._unforget(new, spark)
+            # reinsert canceled fps into the cuckoo filter ONLY on the
+            # path that won't append them anyway (assume_novel appends the
+            # whole batch to the filter below — a second copy would break
+            # the one-copy-per-live-fp deletion invariant)
+            self._unforget(new, spark, reinsert_filter=not assume_novel)
         if assume_novel and self.table.exists():
             new = new.persist()
             # NB: re-adding a previously-forgotten fp can leave a transient
@@ -288,7 +339,7 @@ class UrlSeen:
             # at the next compaction; anti-join semantics are unaffected
             self.table.append(new)
             if self.bloom:
-                self._append_bloom(new)
+                self._append_filter(new)
             new.unpersist()
             self._maybe_compact(spark)
             if n_hint is not None:
@@ -311,14 +362,22 @@ class UrlSeen:
                 # the overwrite materialized the subtraction — fold tombstones
                 self.forgot_t.overwrite(spark.createDataFrame([], FORGOT_SCHEMA))
             if self.bloom:
-                self._rebuild_bloom(spark)
+                self._rebuild_filter(spark)
         return n_new
 
-    def _unforget(self, new: DataFrame, spark: SparkSession) -> None:
+    def _unforget(
+        self, new: DataFrame, spark: SparkSession, reinsert_filter: bool = False
+    ) -> None:
         """Cancel tombstones covered by re-added fps: exact tombstones drop;
         a prefix-range tombstone whose range a re-add touches is EXPANDED
         into exact tombstones for the still-forgotten fps under it (one
-        O(base)-scan job, only on this rare collision). O(forgot) rewrite."""
+        O(base)-scan job, only on this rare collision). O(forgot) rewrite.
+
+        ``reinsert_filter``: a canceled tombstone resurrects its fp in the
+        base table, but the cuckoo paths REALLY removed its tag from the
+        filter at forget time — re-insert exactly those fps' tags so the
+        prefilter can't report a live fp as definitely-new (bloom shards
+        never delete, so they need nothing here)."""
         fg = self.forgot_t.read(spark)
         new_fps = new.select("fp")
         pr_hits = [
@@ -361,6 +420,33 @@ class UrlSeen:
             )
             ranges = ranges.filter(~F.col("prefix24").isin([int(p) for p in pr_hits]))
             exact = exact.unionByName(still)
+        if (
+            reinsert_filter
+            and self.kind == "cuckoo"
+            and self.cuckoo_table.exists()
+        ):
+            # fps whose tombstone this call cancels: exact-tombstoned
+            # re-adds plus re-adds under a hit prefix range (both had their
+            # tag deleted / rebuilt out of the filter at forget time)
+            canceled = new_fps.join(
+                exact_all.select(F.col("fp").alias("__t")),
+                F.col("fp") == F.col("__t"),
+                "left_semi",
+            )
+            if pr_hits:
+                canceled = canceled.unionByName(
+                    new_fps.filter(
+                        F.shiftrightunsigned("fp", 40).isin(
+                            [int(p) for p in pr_hits]
+                        )
+                    )
+                ).dropDuplicates(["fp"])
+            keyed = canceled.select(
+                "fp", bucket_col(F.col("fp"), self.num_buckets).alias("bucket")
+            )
+            # append BEFORE the forgot rewrite below: `canceled` reads the
+            # pre-rewrite tombstone snapshot lazily
+            self.cuckoo_table.append(self._cuckoo_shards_for(keyed))
         self.forgot_t.overwrite(exact.unionByName(ranges))
 
     #: compact after this many delta appends (keeps file counts bounded)
@@ -378,25 +464,50 @@ class UrlSeen:
             if self.forgot_t.exists():
                 self.forgot_t.overwrite(spark.createDataFrame([], FORGOT_SCHEMA))
             if self.bloom:
-                self._rebuild_bloom(spark)
+                self._rebuild_filter(spark)
 
     def forget_fps(self, fps: DataFrame, fp_field: str = "fp") -> None:
         """forget: remove so the URI can be rediscovered (UriUniqFilter
-        .forget). O(forgotten) tombstone append — never a table rewrite;
-        bloom shards are left alone (false positives are checked exactly)."""
+        .forget). O(forgotten) tombstone append — never a base-table
+        rewrite. Bloom shards are left alone (false positives are checked
+        exactly); cuckoo shards support REAL deletion, so the forgotten
+        fp's tag is removed and the fp becomes definitely-new at the
+        prefilter instead of a permanent maybe-seen hit."""
         if not self.table.exists():
             return
-        self.forgot_t.append(
-            fps.select(
-                F.col(fp_field).cast("long").alias("fp"),
-                F.lit(None).cast("long").alias("prefix24"),
+        dels = fps.select(F.col(fp_field).cast("long").alias("fp")).dropDuplicates(
+            ["fp"]
+        )
+        if self.kind == "cuckoo" and self.cuckoo_table.exists():
+            # the cuckoo deletion contract: only delete inserted keys, once.
+            # Semi-join against the LIVE seen set (before the tombstone
+            # lands) and materialize — the lazy plan would otherwise read
+            # the post-append tombstone and delete nothing.
+            eligible = dels.join(
+                self.seen(dels.sparkSession).select("fp"), "fp", "left_semi"
+            ).persist()
+            if eligible.count() == 0:
+                eligible.unpersist()
+                return
+            self.forgot_t.append(
+                eligible.select(
+                    "fp", F.lit(None).cast("long").alias("prefix24")
+                )
             )
+            self._cuckoo_delete(eligible)
+            eligible.unpersist()
+            return
+        self.forgot_t.append(
+            dels.select("fp", F.lit(None).cast("long").alias("prefix24"))
         )
 
     def forget_authority(self, spark: SparkSession, scheme_authority_prefix24: int) -> None:
         """Range-delete every fp sharing a 24-bit authority prefix
         (BdbUriUniqFilter.forgetAllSchemeAuthorityMatching, :419-449):
-        one range-tombstone row, subtracted at read."""
+        one range-tombstone row, subtracted at read. With a cuckoo
+        prefilter the one affected bucket's shards (all fps of a prefix
+        share a bucket) are rebuilt from the live set, so the whole
+        authority drops out of the filter too."""
         if not self.table.exists():
             return
         self.forgot_t.append(
@@ -404,6 +515,10 @@ class UrlSeen:
                 [(None, int(scheme_authority_prefix24))], FORGOT_SCHEMA
             )
         )
+        if self.kind == "cuckoo" and self.cuckoo_table.exists():
+            self._cuckoo_rebuild_buckets(
+                spark, [int(scheme_authority_prefix24) % self.num_buckets]
+            )
 
     _BLOOM_SCHEMA = StructType(
         [
@@ -434,3 +549,98 @@ class UrlSeen:
         """Incremental: append shards covering only the new fps; the probe
         ORs a bucket's shards together (compaction merges them)."""
         self.bloom_table.append(self._shards_for(new_fps))
+
+    def _append_filter(self, new_fps: DataFrame) -> None:
+        if self.kind == "cuckoo":
+            self.cuckoo_table.append(self._cuckoo_shards_for(new_fps))
+        else:
+            self._append_bloom(new_fps)
+
+    def _rebuild_filter(self, spark: SparkSession) -> None:
+        if self.kind == "cuckoo":
+            self.cuckoo_table.overwrite(
+                self._cuckoo_shards_for(self.table.read(spark))
+            )
+        else:
+            self._rebuild_bloom(spark)
+
+    # -- cuckoo shards ------------------------------------------------------
+    _CUCKOO_SCHEMA = StructType(
+        [
+            StructField("bucket", IntegerType()),
+            StructField("m", IntegerType()),
+            StructField("table", BinaryType()),
+        ]
+    )
+
+    def _cuckoo_shards_for(self, fps_df: DataFrame) -> DataFrame:
+        """Per-bucket cuckoo shard sized for its own key count at the
+        target load factor (operators/cuckoo.py; deterministic build)."""
+
+        def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            table, m = CK.build(pdf["fp"].to_numpy(dtype=np.int64))
+            return pd.DataFrame(
+                {"bucket": [key[0]], "m": [m], "table": [table.tobytes()]}
+            )
+
+        return fps_df.groupBy("bucket").applyInPandas(
+            build, schema=self._CUCKOO_SCHEMA
+        )
+
+    def _cuckoo_delete(self, dels: DataFrame) -> None:
+        """Remove one tag copy per forgotten fp from its bucket's shards.
+
+        Cogrouped by bucket like the probe; only affected buckets' shards
+        are recomputed, then the table is rewritten as untouched ∪
+        modified (O(filter bytes) ≈ 2.4 bytes/key — ~100x smaller than the
+        seen table itself; forgets are rare admin actions)."""
+        spark = dels.sparkSession
+        shards = self.cuckoo_table.read(spark)
+        keyed = dels.select(
+            "fp", bucket_col(F.col("fp"), self.num_buckets).alias("bucket")
+        )
+        affected = keyed.select("bucket").distinct()
+
+        def apply_deletes(key, dpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(spdf):
+                return pd.DataFrame(
+                    {"bucket": [], "m": [], "table": []}
+                ).astype({"bucket": "int32", "m": "int32"})
+            arrs = [
+                np.frombuffer(b, dtype=np.uint16).reshape(-1, CK.SLOTS).copy()
+                for b in spdf["table"]
+            ]
+            ms = [int(m) for m in spdf["m"]]
+            for fp_val in dpdf["fp"].to_numpy(dtype=np.int64):
+                one = np.asarray([fp_val], dtype=np.int64)
+                for arr, m in zip(arrs, ms):
+                    if CK.delete(one, arr, m)[0]:
+                        break  # exactly one stored copy per live fp
+            return pd.DataFrame(
+                {
+                    "bucket": spdf["bucket"].to_numpy(),
+                    "m": ms,
+                    "table": [a.tobytes() for a in arrs],
+                }
+            )
+
+        modified = (
+            keyed.groupBy("bucket")
+            .cogroup(
+                shards.join(F.broadcast(affected), "bucket", "left_semi")
+                .groupBy("bucket")
+            )
+            .applyInPandas(apply_deletes, schema=self._CUCKOO_SCHEMA)
+        )
+        untouched = shards.join(F.broadcast(affected), "bucket", "left_anti")
+        self.cuckoo_table.overwrite(untouched.unionByName(modified))
+
+    def _cuckoo_rebuild_buckets(self, spark: SparkSession, buckets: list[int]) -> None:
+        """Rebuild the given buckets' shards from the live seen set (used
+        after a prefix-range forget, where per-tag deletion has no key
+        list without scanning the base anyway)."""
+        shards = self.cuckoo_table.read(spark)
+        live = self.seen(spark).filter(F.col("bucket").isin(buckets))
+        rebuilt = self._cuckoo_shards_for(live)
+        untouched = shards.filter(~F.col("bucket").isin(buckets))
+        self.cuckoo_table.overwrite(untouched.unionByName(rebuilt))

@@ -16,14 +16,15 @@ def _urls_df(spark, urls):
     )
 
 
-@pytest.fixture(params=[False, True], ids=["exact", "bloom"])
+@pytest.fixture(params=["exact", "bloom", "cuckoo"])
 def urlseen(request, tmp_path):
     return UrlSeen(
         SnapshotCatalog(str(tmp_path / "cat")),
         num_buckets=8,
-        bloom=request.param,
+        bloom=request.param != "exact",
         bloom_bits_per_bucket=1 << 14,
         bloom_min_seen=0,  # engage the probe immediately for the test
+        kind=request.param if request.param != "exact" else "bloom",
     )
 
 
