@@ -2360,6 +2360,46 @@ class CrawlEngine:
             ),
         }
 
+    def frontier_report(self) -> DataFrame:
+        """One-row frontier report (WorkQueueFrontier.reportTo,
+        WorkQueueFrontier.java:1253-1345 + shortReportLineTo :1161-1199):
+        queue-state counts (total/active = ready+snoozed / inactive /
+        retired / exhausted — in-process is structurally 0 between
+        macro-batch rounds), the AbstractFrontier URI tallies (succeeded /
+        failed / disregarded / finished), ``queued`` =
+        queuedUriCount (sum of pending over all queues), and
+        ``discovered`` == ``already_included`` == the uriUniqFilter count
+        (WorkQueueFrontier.discoveredUriCount :1089-1091). O(queues) +
+        O(log-agg) — never scans the frontier rows themselves (queue
+        precedence joins them only in highest_uri mode, same as
+        activation)."""
+        from heritrix3_spark.operators import stats as ST
+
+        hosts = self.host_t.read(self.spark)
+        qp = None
+        if self.cfg.queue_precedence == "highest_uri":
+            qp = FR.highest_uri_queue_precedence(
+                self.frontier_t.read(self.spark), self.cfg.queue_precedence_base
+            )
+        qstates = ST.frontier_summary(
+            hosts,
+            self.clock,
+            self.cfg.precedence_floor,
+            FR.DEFAULT_QUEUE_PRECEDENCE,
+            qp,
+        )
+        totals = ST.frontier_uri_totals(self.crawl_log())
+        queued = hosts.agg(
+            F.coalesce(F.sum("pending"), F.lit(0)).alias("queued")
+        )
+        seen_n = self.urlseen.count(self.spark)
+        return (
+            qstates.crossJoin(totals)
+            .crossJoin(queued)
+            .withColumn("discovered", F.lit(seen_n).cast("long"))
+            .withColumn("already_included", F.lit(seen_n).cast("long"))
+        )
+
     def export_pending_uris(self) -> DataFrame:
         """Full dump of the pending frontier
         (BdbMultipleWorkQueues.exportPendingUris analog, :568-587)."""

@@ -60,6 +60,94 @@ def seeds_report(crawl_log: DataFrame, frontier_journal: DataFrame) -> DataFrame
     )
 
 
+def frontier_summary(
+    host_state: DataFrame,
+    clock: int,
+    precedence_floor: int,
+    default_precedence: int,
+    queue_precedence: DataFrame | None = None,
+) -> DataFrame:
+    """Queue-state counts of the frontier report (WorkQueueFrontier
+    .reportTo, WorkQueueFrontier.java:1253-1345; shortReportLineTo
+    :1161-1199): one row with
+
+    - ``total_queues`` — allQueues.size()
+    - ``active_queues`` = ready + snoozed (the reference adds in-process;
+      the macro-batch engine fully disposes each round's picks, so
+      in-process is structurally 0 between rounds)
+    - ``ready_queues`` — live (unretired, pending > 0, precedence below
+      the floor) and awake (wake_time <= clock)
+    - ``snoozed_queues`` — live but wake_time > clock
+    - ``inactive_queues`` — unretired with pending > 0 whose queue
+      precedence sits at/above the precedence floor (the reference's
+      ineligible-inactive; the engine has no managed inactive rotation —
+      every eligible queue activates each round)
+    - ``retired_queues`` — retired == 'y'
+    - ``exhausted_queues`` — unretired with pending == 0 (the reference
+      derives this by subtraction; the four unretired states partition
+      exactly here, so both derivations agree)
+
+    ``queue_precedence`` joins an optional (class_key, queue_precedence)
+    frame (HighestUriQueuePrecedencePolicy output); absent keys take
+    ``default_precedence`` — the same law run_round uses for activation.
+    One aggregate job over host_state (O(queues), never the frontier).
+    """
+    hs = host_state
+    if queue_precedence is not None:
+        hs = hs.join(queue_precedence, "class_key", "left")
+        prec = F.coalesce(
+            F.col("queue_precedence"), F.lit(default_precedence)
+        )
+    else:
+        prec = F.lit(default_precedence)
+    unretired = F.col("retired") == "n"
+    live = unretired & (F.col("pending") > 0) & (prec < precedence_floor)
+
+    def tally(cond, name):
+        return F.coalesce(F.sum(F.when(cond, 1)), F.lit(0)).alias(name)
+
+    return hs.agg(
+        F.count("*").alias("total_queues"),
+        tally(live, "active_queues"),
+        tally(live & (F.col("wake_time") <= F.lit(clock)), "ready_queues"),
+        tally(live & (F.col("wake_time") > F.lit(clock)), "snoozed_queues"),
+        tally(
+            unretired & (F.col("pending") > 0) & (prec >= precedence_floor),
+            "inactive_queues",
+        ),
+        tally(~unretired, "retired_queues"),
+        tally(unretired & (F.col("pending") <= 0), "exhausted_queues"),
+    )
+
+
+def frontier_uri_totals(crawl_log: DataFrame) -> DataFrame:
+    """URI-count half of the frontier report (AbstractFrontier counter
+    laws, AbstractFrontier.java:736-790): succeeded / failed /
+    disregarded tallies of finally-disposed URIs and their sum
+    ``finished`` (finishedUriCount :752-753). Retry rows are not finished
+    (needsReenqueuing); quota-"blocked" rows never reach the crawl log
+    (they re-enter the frontier via forceRetire)."""
+    return crawl_log.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("disposition") == "success", 1)), F.lit(0)
+        ).alias("succeeded"),
+        F.coalesce(
+            F.sum(F.when(F.col("disposition") == "fail", 1)), F.lit(0)
+        ).alias("failed"),
+        F.coalesce(
+            F.sum(F.when(F.col("disposition") == "disregard", 1)), F.lit(0)
+        ).alias("disregarded"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("disposition").isin("success", "fail", "disregard"), 1
+                )
+            ),
+            F.lit(0),
+        ).alias("finished"),
+    )
+
+
 def queue_depth_stats(host_state: DataFrame) -> DataFrame:
     """averageDepth + deepestUri over live queues (one-row DataFrame)."""
     live = host_state.filter(F.col("pending") > 0)
