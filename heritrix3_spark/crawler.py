@@ -479,6 +479,7 @@ class CrawlEngine:
                 F.col("data").getItem("source_tag").alias("source_tag"),
                 F.lit(None).cast("string").alias("content_type"),
                 F.lit(None).cast("long").alias("content_length"),
+                F.lit(self.clock).cast("long").alias("clock_ms"),
             )
         )
         self._checkpoint()
@@ -1595,6 +1596,9 @@ class CrawlEngine:
             F.col("data").getItem("source_tag").alias("source_tag"),
             "content_type",
             F.col("content_bytes").alias("content_length"),
+            # event time for streaming consumers: the round's virtual clock
+            # (windowed aggs + watermarks key on this, journal_stream.py)
+            F.lit(self.clock).cast("long").alias("clock_ms"),
         )
 
         # --- documents sink (WARC analog): span payload + content digest ---
@@ -1878,6 +1882,7 @@ class CrawlEngine:
                     F.col("data").getItem("source_tag").alias("source_tag"),
                     F.lit(None).cast("string").alias("content_type"),
                     F.lit(None).cast("long").alias("content_length"),
+                    F.lit(self.clock).cast("long").alias("clock_ms"),
                 )
             )
         )
@@ -1941,6 +1946,7 @@ class CrawlEngine:
                         F.col("data").getItem("source_tag").alias("source_tag"),
                         F.lit(None).cast("string").alias("content_type"),
                         F.lit(None).cast("long").alias("content_length"),
+                        F.lit(self.clock).cast("long").alias("clock_ms"),
                     )
                 )
 

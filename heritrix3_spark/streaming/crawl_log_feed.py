@@ -92,6 +92,10 @@ def crawl_log_json(
       carries no per-URI extraInfo map.
     """
     fields: list[Column] = []
+    if clock_ms is None and "clock_ms" in log.columns:
+        # the journal stamps each event with the virtual clock at its
+        # disposition round — the natural feed timestamp
+        clock_ms = F.col("clock_ms")
     ts = (
         F.date_format(
             F.timestamp_millis(clock_ms.cast("long")),

@@ -39,6 +39,9 @@ EVENTS_SCHEMA = StructType(
         StructField("fetch_status", IntegerType(), True),
         StructField("disposition", StringType(), True),
         StructField("is_seed", BooleanType(), True),
+        # event time: the crawl's virtual clock (ms) at emission — the
+        # round's serial clock base; windowed aggs and watermarks key on it
+        StructField("clock_ms", LongType(), True),
     ]
 )
 
@@ -100,3 +103,95 @@ def run_available_now(agg: DataFrame, query_name: str):
     )
     q.awaitTermination()
     return q
+
+
+def windowed_throughput(
+    stream: DataFrame,
+    window_duration: str = "10 seconds",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Tumbling event-time windows of journal-tag counts with a watermark.
+
+    Event time is the crawl's VIRTUAL clock (``clock_ms`` — the same
+    serial politeness clock the frontier runs on), so the aggregate means
+    "dispositions per N seconds of crawl time" regardless of how fast the
+    engine replays them. The watermark bounds state: a window finalizes
+    (append-mode emit) once the watermark passes its end, tolerating
+    late-arriving events up to the threshold — in this journal, rows of a
+    round that lands while later rounds' files are already committed
+    (file-source micro-batches are per-file, not per-round). This is the
+    StatisticsTracker 20-second-snapshot cadence (StatisticsTracker.java:
+    222) re-expressed as a standard Structured Streaming windowed agg."""
+    ev = stream.withColumn("event_time", F.timestamp_millis(F.col("clock_ms")))
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration), "tag")
+        .count()
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "tag",
+            "count",
+        )
+    )
+
+
+#: output/state columns of :func:`host_progress_stateful`
+_PROGRESS_OUT = (
+    "class_key string, successes long, finished long, scheduled long, "
+    "last_round long"
+)
+_PROGRESS_STATE = "successes long, finished long, scheduled long, last_round long"
+
+
+def host_progress_stateful(stream: DataFrame) -> DataFrame:
+    """Per-queue running progress as a CUSTOM stateful streaming operator
+    (``applyInPandasWithState``): for every class_key, arbitrary state
+    (success / finished / scheduled totals + last round seen) folds over
+    the journal micro-batches, one updated row emitted per queue per
+    batch — the live per-host dashboard without re-aggregating history
+    each trigger (the groupBy().count() dashboards recompute; this one
+    carries O(queues) state forward). The update function sees Arrow
+    batches per group, never per-row Python."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        suc, fin, sched, last = (
+            state.get if state.exists else (0, 0, 0, -1)
+        )
+        for pdf in pdfs:
+            tags = pdf["tag"]
+            suc += int((tags == "Fs").sum())
+            fin += int(tags.isin(["Fs", "Ff", "Fd"]).sum())
+            sched += int((tags == "F+").sum())
+            if len(pdf):
+                last = max(last, int(pdf["round"].max()))
+        state.update((suc, fin, sched, last))
+        yield pd.DataFrame(
+            [[key[0], suc, fin, sched, last]],
+            columns=["class_key", "successes", "finished", "scheduled", "last_round"],
+        )
+
+    return stream.groupBy("class_key").applyInPandasWithState(
+        update,
+        _PROGRESS_OUT,
+        _PROGRESS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_update_available_now(out: DataFrame, checkpoint_dir: str) -> list:
+    """Drain an update-mode stateful stream, collecting every emitted row
+    (driver-side list — dashboard-scale outputs only)."""
+    rows: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows

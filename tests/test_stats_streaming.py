@@ -89,3 +89,87 @@ def test_journal_streaming_matches_batch(spark, crawl):
     run_available_now(per_round_throughput(journal_stream(spark, crawl["state"])), "rounds_tp")
     tp = spark.table("rounds_tp").collect()
     assert sum(r.scheduled for r in tp) == batch.get("F+", 0)
+
+
+def test_windowed_throughput_with_watermark(spark, crawl):
+    """Event-time tumbling windows over the VIRTUAL clock with a
+    watermark: finalized (append-mode) windows carry exactly the batch
+    counts, and the watermark genuinely holds back the trailing windows
+    (bounded state, late-data tolerance)."""
+    from heritrix3_spark.streaming.journal_stream import (
+        EVENTS_SCHEMA,
+        journal_stream,
+        windowed_throughput,
+    )
+
+    agg = windowed_throughput(journal_stream(spark, crawl["state"]))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_tp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.tag): r["count"]
+        for r in spark.table("win_tp").collect()
+    }
+    batch = {
+        ((r["window"]["start"]), r.tag): r["count"]
+        for r in (
+            spark.read.schema(EVENTS_SCHEMA)
+            .parquet(crawl["state"] + "/events/v*")
+            .withColumn("event_time", F.timestamp_millis(F.col("clock_ms")))
+            .groupBy(F.window("event_time", "10 seconds"), "tag")
+            .count()
+            .collect()
+        )
+    }
+    assert got  # some windows finalized (virtual span >> window+watermark)
+    assert set(got) < set(batch)  # strict: the tail is held by the watermark
+    assert all(batch[k] == v for k, v in got.items())  # exact counts
+
+
+def test_host_progress_stateful(spark, crawl, tmp_path):
+    """applyInPandasWithState custom stateful operator: per-queue running
+    totals folded over micro-batches; each queue's LAST emitted row must
+    equal the batch-mode aggregate, and totals must be non-decreasing
+    across emissions (state really carries forward)."""
+    from heritrix3_spark.streaming.journal_stream import (
+        EVENTS_SCHEMA,
+        host_progress_stateful,
+        journal_stream,
+        run_update_available_now,
+    )
+
+    rows = run_update_available_now(
+        host_progress_stateful(journal_stream(spark, crawl["state"])),
+        str(tmp_path / "ck"),
+    )
+    seen_monotonic: dict[str, tuple] = {}
+    final: dict[str, tuple] = {}
+    for r in rows:
+        cur = (r.successes, r.finished, r.scheduled, r.last_round)
+        prev = seen_monotonic.get(r.class_key)
+        assert prev is None or all(a >= b for a, b in zip(cur, prev))
+        seen_monotonic[r.class_key] = cur
+        final[r.class_key] = cur
+    batch = {
+        r.class_key: (r.suc, r.fin, r.sched, r.last)
+        for r in (
+            spark.read.schema(EVENTS_SCHEMA)
+            .parquet(crawl["state"] + "/events/v*")
+            .groupBy("class_key")
+            .agg(
+                F.sum(F.when(F.col("tag") == "Fs", 1).otherwise(0)).alias("suc"),
+                F.sum(
+                    F.when(F.col("tag").isin("Fs", "Ff", "Fd"), 1).otherwise(0)
+                ).alias("fin"),
+                F.sum(F.when(F.col("tag") == "F+", 1).otherwise(0)).alias("sched"),
+                F.max("round").cast("long").alias("last"),
+            )
+            .collect()
+        )
+    }
+    assert final == batch
