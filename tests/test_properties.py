@@ -96,3 +96,46 @@ def test_robots_allow_all_and_deny_all(path):
 @given(url_ish, st.from_regex(r"[LPREXIMS]{0,25}", fullmatch=True))
 def test_scope_total(uri, hops):
     assert _scope_ok(uri, hops, ["http://(example,"], 20) in (True, False)
+
+
+# --- cuckoo filter laws (operators/cuckoo.py, Fan et al. 2014) -------------
+fp_arrays = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=0, max_size=400
+)
+
+
+@SETTINGS
+@given(fp_arrays)
+def test_cuckoo_membership_total(vals):
+    """Build over ANY fp multiset: every inserted key is found (no false
+    negatives), determinism holds, and the alt-index stays an involution."""
+    import numpy as np
+
+    from heritrix3_spark.operators import cuckoo as CK
+
+    fps = np.unique(np.asarray(vals, dtype=np.int64))
+    t1, m1 = CK.build(fps)
+    t2, m2 = CK.build(fps)
+    assert m1 == m2 and (t1 == t2).all()
+    assert CK.contains(fps, t1, m1).all()
+    tags = CK._tags(fps)
+    i1 = CK._index1(fps, m1)
+    assert (CK._alt_index(CK._alt_index(i1, tags, m1), tags, m1) == i1).all()
+
+
+@SETTINGS
+@given(fp_arrays, st.integers(min_value=0, max_value=399))
+def test_cuckoo_delete_preserves_others(vals, split):
+    """Deleting any inserted subset never produces a false negative for
+    the keys that remain (the one-copy-per-inserted-key contract)."""
+    import numpy as np
+
+    from heritrix3_spark.operators import cuckoo as CK
+
+    fps = np.unique(np.asarray(vals, dtype=np.int64))
+    if len(fps) == 0:
+        return
+    split = split % len(fps)
+    t, m = CK.build(fps)
+    assert CK.delete(fps[:split], t, m).all()
+    assert CK.contains(fps[split:], t, m).all()
