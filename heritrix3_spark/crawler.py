@@ -396,6 +396,9 @@ class CrawlEngine:
         self.total_fetched = 0
         self.seed_prefixes: list[str] = []
         self.prefix_join_mode = False
+        # round-scoped cached frames (localCheckpoint/persist), released
+        # deterministically at end-of-round — see _free_round_frames
+        self._round_frames: list[tuple[str, DataFrame]] = []
         # WARCLimitEnforcer running stats (BaseWARCWriterProcessor.getStats()
         # shape) and the CrawlStatus the crawl stopped with (None = running
         # or finished normally)
@@ -832,7 +835,7 @@ class CrawlEngine:
             )
         else:
             fetched = fetched.withColumn("__dseen", F.lit(None).cast("string"))
-        fetched = (
+        fetched = self._ckpt(
             fetched.withColumn(
                 "__revisit",
                 F.col("__digest").isNotNull()
@@ -841,7 +844,6 @@ class CrawlEngine:
             # __dseen must not leak: _update_quota_stats re-joins its own
             # pruned digest slice and a duplicate column would be ambiguous
             .drop("__dseen", "__first_in_round")
-            .localCheckpoint()
         )
         if not self.cfg.quotas:
             novel_digests = (
@@ -890,14 +892,13 @@ class CrawlEngine:
             ).drop("__pd_doc")
         else:
             fetched = fetched.withColumn("__pd_digest", F.lit(None).cast("string"))
-        return (
+        return self._ckpt(
             fetched.withColumn(
                 "__trap",
                 F.col("__digest").isNotNull()
                 & (F.col("__digest") == F.col("__pd_digest")),
             )
             .drop("__pd_digest", "__via_canon")
-            .localCheckpoint()
         )
 
     def _bandwidth_advance(self, fetched: DataFrame) -> DataFrame:
@@ -967,7 +968,7 @@ class CrawlEngine:
             out = df.withColumn(
                 "ordinal", (F.lit(self.next_ordinal) + F.row_number().over(w1) - 1).cast("long")
             )
-            out = out.persist()
+            out = self._round_persist(out)
             self._last_novel_count = out.count()
             self.next_ordinal += self._last_novel_count
             return out
@@ -976,7 +977,7 @@ class CrawlEngine:
             .sortWithinPartitions(*order_cols)
             .withColumn("__pid", F.spark_partition_id())
         )
-        ranged = ranged.persist()
+        ranged = self._round_persist(ranged)
         counts = {
             r["__pid"]: r["cnt"]
             for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
@@ -1008,8 +1009,52 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     # one round
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # round-scoped block bookkeeping
+    # ------------------------------------------------------------------
+    def _ckpt(self, df: DataFrame) -> DataFrame:
+        """``localCheckpoint`` + register for end-of-round block release.
+
+        Checkpoint blocks are held STRONGLY by the BlockManager until the
+        RDD handle is GC'd and the ContextCleaner reaps it. Long-lived
+        sessions (a pytest session fixture running hundreds of engine
+        rounds; a months-long incremental crawl driver) accumulate orphaned
+        round frames faster than driver GC runs, and the driver heap
+        eventually dies in a full-GC spiral. Every round frame is dead the
+        moment the round's table commits land, so the round end drops the
+        blocks deterministically instead of waiting for GC.
+        """
+        out = df.localCheckpoint()
+        self._round_frames.append(("ckpt", out))
+        return out
+
+    def _round_persist(self, df: DataFrame) -> DataFrame:
+        out = df.persist()
+        self._round_frames.append(("persist", out))
+        return out
+
+    def _free_round_frames(self) -> None:
+        frames, self._round_frames = self._round_frames, []
+        for kind, df in frames:
+            try:
+                if kind == "ckpt":
+                    # a localCheckpointed frame's blocks hang off the
+                    # LogicalRDD in its analyzed plan; DataFrame.unpersist
+                    # wouldn't touch them
+                    df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+                else:
+                    df.unpersist()
+            except Exception:
+                pass  # best-effort (e.g. session already stopped)
+
     def run_round(self) -> bool:
         """Execute one macro-batch round. Returns False when crawl is done."""
+        try:
+            return self._run_round_impl()
+        finally:
+            self._free_round_frames()
+
+    def _run_round_impl(self) -> bool:
         cfg = self.cfg
         timer = _Timer()
         frontier = self.frontier_t.read(self.spark)
@@ -1160,7 +1205,7 @@ class CrawlEngine:
             # logical plan, so the dozen downstream actions this round stop
             # re-analyzing the frontier-scan + head-pick tree (driver-side
             # Catalyst time dominates tiny rounds; measured ~2x round cost)
-            emitted = emitted.localCheckpoint()
+            emitted = self._ckpt(emitted)
             round_servers = emitted.select(F.col("__server").alias("__srv")).distinct()
             if cfg.dns == "obey" and self.dns_t.exists():
                 dns = self.dns_t.read(self.spark).select(
@@ -1555,7 +1600,7 @@ class CrawlEngine:
         # localCheckpoint, not persist: every downstream action (journal,
         # documents sink, candidates, host/quota updates) re-plans from this
         # frame; truncating lineage keeps those plans shallow
-        fetched = fetched.localCheckpoint()
+        fetched = self._ckpt(fetched)
         timer.mark("fetch-barrier")
 
         # --- revisit detection (IdenticalPayloadDigestRevisit law) --------
@@ -1815,9 +1860,9 @@ class CrawlEngine:
         # localCheckpoint: the forced/normal split reads this frame twice —
         # without the barrier each branch re-executes the whole extract ->
         # scope -> prepare (pandas-UDF) subtree
-        ranked_cand = prepared.withColumn(
-            "__rk", F.row_number().over(w)
-        ).localCheckpoint()
+        ranked_cand = self._ckpt(
+            prepared.withColumn("__rk", F.row_number().over(w))
+        )
         timer.mark("extract-prepare-barrier")
         # forced rows bypass dedup wholesale EXCEPT expiry-forced
         # prerequisites, which dedup first-wins per fp within the batch
@@ -1854,12 +1899,15 @@ class CrawlEngine:
                 F.col("data").isNotNull(),
                 F.map_filter("data", lambda k, _v: k != AUTH.AUTH_DATA_KEY),
             )
-        novel_rows = novel.select(
-            "uri", "canonical", "fp", "class_key", "is_seed",
-            "hops_path", "via", "via_context", "sched_directive", "precedence",
-            "cost", "ordinal", F.lit(0).alias("fetch_attempts"), "force_fetch",
-            cand_data.alias("data"),
-        ).localCheckpoint()
+        novel_rows = self._ckpt(
+            novel.select(
+                "uri", "canonical", "fp", "class_key", "is_seed",
+                "hops_path", "via", "via_context", "sched_directive",
+                "precedence", "cost", "ordinal",
+                F.lit(0).alias("fetch_attempts"), "force_fetch",
+                cand_data.alias("data"),
+            )
+        )
         # forced rows are rare and round-bounded: collect them (tiny) to
         # drive the exact-path seen insert + the addSeed scope announce
         forced_rows = novel_rows.filter(F.col("force_fetch")).select(

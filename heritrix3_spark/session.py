@@ -33,6 +33,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # long-lived sessions churn thousands of short-lived RDDs; the
+        # ContextCleaner only reaps a cached block once driver GC collects
+        # the RDD handle, and the default 30min periodic GC lets orphans
+        # pile up on the heap — reap every 5min
+        .config("spark.cleaner.periodicGC.interval", os.environ.get("SPARK_PERIODIC_GC", "5min"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
