@@ -222,6 +222,7 @@ def minhash_dedup_clusters(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint()
     )
+    prev = labels  # previous iteration's checkpoint, released once superseded
     sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     for _ in range(max_iter):
         neigh = (
@@ -242,6 +243,15 @@ def minhash_dedup_clusters(
         )
         changed = upd.filter(F.col("cluster_id") != F.col("old_cid")).count()
         labels = upd.select("id", "cluster_id")
+        # upd is materialized — its parent checkpoint's blocks are garbage
+        # now; release them so resident blocks stay O(2N), not O(iters x N)
+        # (DataFrame.unpersist wouldn't touch localCheckpoint blocks: they
+        # hang off the LogicalRDD in the analyzed plan)
+        try:
+            prev._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+        prev = upd
         if changed == 0:
             break
     pairs.unpersist()

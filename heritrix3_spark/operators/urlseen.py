@@ -323,10 +323,11 @@ class UrlSeen:
             F.col(fp_field).alias("fp"),
             bucket_col(F.col(fp_field), self.num_buckets).alias("bucket"),
         ).dropDuplicates(["fp"])
+        pinned = None
         if self.forgot_t.exists():
             # a re-added fp cancels its forget tombstone (rare admin state;
             # crawls that never forget skip this entirely)
-            new = new.persist()
+            new = pinned = new.persist()
             # reinsert canceled fps into the cuckoo filter ONLY on the
             # path that won't append them anyway (assume_novel appends the
             # whole batch to the filter below — a second copy would break
@@ -363,6 +364,8 @@ class UrlSeen:
                 self.forgot_t.overwrite(spark.createDataFrame([], FORGOT_SCHEMA))
             if self.bloom:
                 self._rebuild_filter(spark)
+        if pinned is not None:
+            pinned.unpersist()
         return n_new
 
     def _unforget(
