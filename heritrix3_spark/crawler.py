@@ -50,6 +50,7 @@ from heritrix3_spark.operators import auth as AUTH
 from heritrix3_spark.functions.canonicalize import canonical_col
 from heritrix3_spark.functions.surt import class_key_col
 from heritrix3_spark.operators import frontier as FR
+from heritrix3_spark.operators import mapper as MAP
 from heritrix3_spark.operators import scope as SC
 from heritrix3_spark.operators.extract import extract_outlinks_from_spans
 from heritrix3_spark.operators.urlseen import UrlSeen, fp_udf
@@ -298,6 +299,40 @@ class CrawlConfig:
     # overlay keys: "total_budget", "k_per_host".
     # e.g. [{"surt_prefix": "example,hot,", "total_budget": 5, "k_per_host": 2}]
     overlays: tuple = ()
+    # RuntimeLimitEnforcer (prefetch/RuntimeLimitEnforcer.java:64-197):
+    # once the crawl's elapsed virtual-clock runtime exceeds
+    # runtime_limit_s (checked at round start — the macro-batch analog of
+    # the reference's per-URI elapsed check), the configured operation
+    # fires: "pause" stops the round loop resumably (requestCrawlPause —
+    # raising the limit and re-running continues; re-running without
+    # raising it pauses again immediately, the reference's documented
+    # behavior), "terminate" stops with CrawlStatus.FINISHED_TIME_LIMIT,
+    # "block" marks every URI emitted from then on
+    # S_BLOCKED_BY_RUNTIME_LIMIT (-5004, a FAIL disposition — not in the
+    # isDisregarded set) with the reference's "Runtime exceeded {ms}ms"
+    # annotation, so queued URIs wind up in the crawl log. -1 = off.
+    runtime_limit_s: int = -1
+    runtime_limit_op: str = "pause"  # "pause" | "terminate" | "block"
+    # CrawlMapper family (processor/CrawlMapper.java:196-296,
+    # HashCrawlMapper.java:107-135, LexicalCrawlMapper.java:144-154;
+    # operators/mapper.py): split one logical crawl across crawler nodes.
+    # "hash" = abs(std64.fp(reduced class_key) % crawler_count) as the node
+    # name; "lexical" = nearest mapping key lexically >= class_key (wrapping
+    # to the first entry). check_uri: a due URI mapped to a non-local node
+    # is S_BLOCKED_BY_CUSTOM_PROCESSOR (-5002, disregard) with the
+    # reference's "to:<target>" annotation, BEFORE preconditions (early
+    # prefetch position). check_outlinks: post-scope candidates mapped away
+    # are dropped pre-url-seen (the other node crawls them). Both paths
+    # append `<classKey> CrawlURI <uri> <hopsPath> <via>` lines to the
+    # `diversions` table, deduped per round on (target, std64 uri fp) —
+    # the recentlySeen law, minus its LRU eviction.
+    crawl_mapper: str = "off"  # "off" | "hash" | "lexical"
+    mapper_local_name: str = "."
+    mapper_crawler_count: int = 1  # hash mode
+    mapper_psl_reduce: bool = True  # hash mode usePublicSuffixesRegex default
+    mapper_map: tuple = ()  # lexical mode ((key, crawler), ...)
+    mapper_check_uri: bool = True
+    mapper_check_outlinks: bool = True
 
 
 class CrawlEngine:
@@ -384,6 +419,9 @@ class CrawlEngine:
         # append-only + distinct-at-read — promotion is monotone and the
         # table is bounded by |servers| x |store realms|
         self.auth_t = self.catalog.table("auth_state")
+        # CrawlMapper diversion log (CrawlMapper.divertLog analog): one
+        # append per round of (round, target, fp, line) rows
+        self.divert_t = self.catalog.table("diversions")
         # seed-implied scope prefixes at 10^6-seed scale: the driver list
         # (InSet mode) is swapped for this table + a broadcast semi-join
         # when the seed count exceeds cfg.seed_prefix_inset_max
@@ -547,6 +585,18 @@ class CrawlEngine:
             F.col("via"),
         ).otherwise(F.col("canonical"))
         return policy(basis)
+
+    def _mapper_target_col(self, class_key):
+        """CrawlMapper node name for a class key (operators/mapper.py):
+        HashCrawlMapper.mapString or the LexicalCrawlMapper TreeMap law."""
+        cfg = self.cfg
+        if cfg.crawl_mapper == "hash":
+            return MAP.hash_crawler_name_col(
+                class_key,
+                cfg.mapper_crawler_count,
+                use_psl=cfg.mapper_psl_reduce,
+            )
+        return MAP.lexical_crawler_name_col(class_key, cfg.mapper_map)
 
     def _overlay_col(self, key: str, default):
         """Sheet-overlay value for ``key`` by class_key SURT-prefix match
@@ -1057,6 +1107,18 @@ class CrawlEngine:
     def _run_round_impl(self) -> bool:
         cfg = self.cfg
         timer = _Timer()
+        # RuntimeLimitEnforcer (RuntimeLimitEnforcer.java:168-197), checked
+        # against the round-start virtual clock: pause/terminate stop the
+        # loop; "block" poisons every URI emitted this round (-5004 fail)
+        rt_block = False
+        if cfg.runtime_limit_s >= 0 and self.clock > cfg.runtime_limit_s * 1000:
+            if cfg.runtime_limit_op == "pause":
+                self.stop_status = "PAUSED_RUNTIME_LIMIT"
+                return False
+            if cfg.runtime_limit_op == "terminate":
+                self.stop_status = "FINISHED_TIME_LIMIT"
+                return False
+            rt_block = True
         frontier = self.frontier_t.read(self.spark)
         hosts = self.host_t.read(self.spark)
 
@@ -1162,6 +1224,20 @@ class CrawlEngine:
             .filter(F.col("__spend_before") <= cfg.session_budget)
             .drop("queue_rank", "__k", "__spend_before")
         )
+
+        # --- CrawlMapper check-uri (processor/CrawlMapper.java:196-213):
+        # the node name is a pure column law over class_key; mapped-away
+        # rows divert BEFORE preconditions (early prefetch position)
+        mapper_on = cfg.crawl_mapper != "off"
+        map_uri_on = mapper_on and cfg.mapper_check_uri
+        map_out_on = mapper_on and cfg.mapper_check_outlinks
+        if map_uri_on:
+            emitted = emitted.withColumn(
+                "__map_target", self._mapper_target_col(F.col("class_key"))
+            ).withColumn(
+                "__map_divert",
+                F.col("__map_target") != F.lit(cfg.mapper_local_name),
+            )
 
         # --- precondition gate: DNS first, then robots, then quotas
         # (chain order: preselector -> preconditions -> quota -> fetchers,
@@ -1460,6 +1536,42 @@ class CrawlEngine:
                 .withColumn("__defer_reason", F.lit(None).cast("string"))
                 .withColumn("__crawl_delay", F.lit(None).cast("double"))
             )
+        if map_uri_on:
+            # mapper sits before the precondition/quota chain: a diverted
+            # row never defers, injects a prerequisite, or charges quota
+            # (S_BLOCKED_BY_CUSTOM_PROCESSOR -> disregard disposition)
+            emitted = (
+                emitted.withColumn(
+                    "__forced_status",
+                    F.when(
+                        F.col("__map_divert"),
+                        F.lit(FR.S_BLOCKED_BY_CUSTOM_PROCESSOR),
+                    ).otherwise(F.col("__forced_status")),
+                )
+                .withColumn(
+                    "__quota_retire",
+                    F.col("__quota_retire") & ~F.col("__map_divert"),
+                )
+                .withColumn(
+                    "__defer_reason",
+                    F.when(
+                        F.col("__map_divert"), F.lit(None).cast("string")
+                    ).otherwise(F.col("__defer_reason")),
+                )
+            )
+
+        if rt_block:
+            # BLOCK_URIS (RuntimeLimitEnforcer.java:186-190): every emitted
+            # URI this round is S_BLOCKED_BY_RUNTIME_LIMIT — a global kill
+            # switch that wins over every other gate (incl. the mapper)
+            emitted = (
+                emitted.withColumn(
+                    "__forced_status",
+                    F.lit(FR.S_BLOCKED_BY_RUNTIME_LIMIT),
+                )
+                .withColumn("__quota_retire", F.lit(False))
+                .withColumn("__defer_reason", F.lit(None).cast("string"))
+            )
 
         # --- fetch (synthetic: join against the web documents table) ----
         # an explicit content_type column on the web table is the synthetic
@@ -1617,7 +1729,20 @@ class CrawlEngine:
             trap_ann = F.when(F.col("__trap"), F.lit("trapSuppressExtractor"))
         else:
             trap_ann = F.lit(None).cast("string")
-        joined_ann = F.concat_ws(",", rev_ann, trap_ann)
+        map_ann = (
+            F.when(
+                F.col("__map_divert"),
+                F.concat(F.lit("to:"), F.col("__map_target")),
+            )
+            if (map_uri_on and not rt_block)
+            else F.lit(None).cast("string")
+        )
+        rt_ann = (
+            F.lit(f"Runtime exceeded {cfg.runtime_limit_s * 1000}ms")
+            if rt_block
+            else F.lit(None).cast("string")
+        )
+        joined_ann = F.concat_ws(",", rt_ann, map_ann, rev_ann, trap_ann)
         annotation = F.when(F.length(joined_ann) > 0, joined_ann).otherwise(
             F.lit(None).cast("string")
         )
@@ -1864,6 +1989,22 @@ class CrawlEngine:
             prepared.withColumn("__rk", F.row_number().over(w))
         )
         timer.mark("extract-prepare-barrier")
+        # --- CrawlMapper check-outlinks (CrawlMapper.java:215-233): post-
+        # scope candidates mapped to another node are removed pre-url-seen
+        # (the other node crawls them — they are never marked seen here).
+        # Filtering AFTER the __rk window is safe: same-fp rows share a
+        # canonical, hence a class_key, hence a target.
+        divert_cand = None
+        if map_out_on:
+            ranked_cand = ranked_cand.withColumn(
+                "__map_target", self._mapper_target_col(F.col("class_key"))
+            )
+            divert_cand = ranked_cand.filter(
+                F.col("__map_target") != F.lit(cfg.mapper_local_name)
+            )
+            ranked_cand = ranked_cand.filter(
+                F.col("__map_target") == F.lit(cfg.mapper_local_name)
+            ).drop("__map_target")
         # forced rows bypass dedup wholesale EXCEPT expiry-forced
         # prerequisites, which dedup first-wins per fp within the batch
         # (serial Heritrix emits one refetch per validity window; k>1 rounds
@@ -1955,6 +2096,36 @@ class CrawlEngine:
                     self.seed_prefixes.append(p)
 
         timer.mark("events-append")
+        # --- CrawlMapper diversion log: one append per round of
+        # (target, fp, line, round), deduped on (target, std64 uri fp) —
+        # the recentlySeen law (CrawlMapper.java:280-306) without its LRU
+        # eviction (cross-round repeats of a rediscovered-and-rediverted
+        # URI can recur, as the reference's lossy cache also allows)
+        if mapper_on:
+            parts = []
+            # under a runtime-limit block the mapper never ran (the kill
+            # switch FINISHes first), so check-uri rows are not divert-logged
+            if map_uri_on and not rt_block:
+                parts.append(
+                    fetched.filter(F.col("__map_divert")).select(
+                        "uri", "class_key", "hops_path", "via", "__map_target"
+                    )
+                )
+            if map_out_on:
+                parts.append(
+                    divert_cand.select(
+                        "uri", "class_key", "hops_path", "via", "__map_target"
+                    )
+                )
+            if parts:
+                dv = parts[0]
+                for p in parts[1:]:
+                    dv = dv.unionByName(p)
+                self.divert_t.append(
+                    MAP.divert_log(dv, uri_col="uri", target_col="__map_target")
+                    .withColumn("round", F.lit(self.round))
+                )
+
         # --- futureUris scheduling (rescheduleTime, CrawlURI.java:1650-1653):
         # every successful non-prerequisite fetch re-visits at
         # round_start + interval. Tag 'Fu' in the journal (the reference
@@ -2459,6 +2630,16 @@ class CrawlEngine:
         (BdbMultipleWorkQueues.exportPendingUris analog, :568-587)."""
         return self.frontier_t.read(self.spark)
 
+    def diversions(self) -> DataFrame:
+        """CrawlMapper diversion log: (round, target, fp, line) — the
+        per-target ``.divert`` files analog (CrawlMapper.java:246-263),
+        partitionable by target for per-node export."""
+        if not self.divert_t.exists():
+            return self.spark.createDataFrame(
+                [], "target string, fp long, line string, round int"
+            )
+        return self.divert_t.read(self.spark)
+
     # ------------------------------------------------------------------
     # operator-facing frontier management
     # ------------------------------------------------------------------
@@ -2554,6 +2735,7 @@ class CrawlEngine:
                 "digest_seen": self.digest_t.latest_version(),
                 "auth_state": self.auth_t.latest_version(),
                 "seed_prefixes": self.seed_prefix_t.latest_version(),
+                "diversions": self.divert_t.latest_version(),
             },
             state={
                 "round": self.round,

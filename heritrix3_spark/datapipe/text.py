@@ -110,3 +110,146 @@ def doc_fingerprint_udf(text: pd.Series) -> pd.Series:
     )
     vals = std64.fp_batch(normalized.tolist()).astype("int64")
     return pd.Series(vals)
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style repetition removal, Rae et al. 2021 §A1.1:
+# documents dominated by repeated lines / n-grams are low-quality training
+# data). All per-row laws are pure higher-order-function Columns (JVM,
+# codegen, no shuffle); the top-bigram law is one doc_id-keyed aggregation.
+# ---------------------------------------------------------------------------
+
+def lines_col(text: Column) -> Column:
+    """Non-empty trimmed lines of a document."""
+    return F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), "\n"), F.trim),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def _safe_frac(num: Column, den: Column) -> Column:
+    return F.round(
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0), 6
+    )
+
+
+def dup_line_fraction_col(text: Column) -> Column:
+    """Fraction of lines that are repeats of another line:
+    1 - distinct_lines/lines (0 for empty docs)."""
+    lines = lines_col(text)
+    return _safe_frac(
+        F.size(lines) - F.size(F.array_distinct(lines)), F.size(lines)
+    )
+
+
+def dup_line_char_fraction_col(text: Column) -> Column:
+    """Character-weighted duplicate-line fraction: 1 - chars(distinct
+    lines)/chars(all lines) — the dedup-savings form of Gopher's
+    duplicate-line character fraction."""
+    lines = lines_col(text)
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    total = chars(lines)
+    return _safe_frac(total - chars(F.array_distinct(lines)), total)
+
+
+def dup_word_fraction_col(text: Column) -> Column:
+    """Fraction of word occurrences that repeat an earlier word."""
+    w = words_col(text)
+    return _safe_frac(F.size(w) - F.size(F.array_distinct(w)), F.size(w))
+
+
+def word_ngrams_col(text: Column, n: int) -> Column:
+    """Word n-grams (space-joined) as an array column, [] when < n words.
+
+    The < n guard matters: Spark's ``sequence(1, stop)`` DESCENDS when
+    stop < 1 instead of returning an empty array."""
+    w = words_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_ngram_fraction_col(text: Column, n: int = 5) -> Column:
+    """Fraction of word n-grams that repeat an earlier n-gram (Gopher's
+    duplicate-n-gram family, count form)."""
+    g = word_ngrams_col(text, n)
+    return _safe_frac(F.size(g) - F.size(F.array_distinct(g)), F.size(g))
+
+
+def top_bigram_char_fraction(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document fraction of word characters covered by the single most
+    frequent word bigram (Gopher's top-n-gram character fraction, n=2):
+    count(top bigram) * chars(top bigram without the space) / total word
+    chars. Ties break to the lexically-smallest bigram.
+
+    Scale shape: one explode + one (doc_id, bigram) hash aggregate + one
+    doc_id-partitioned window — everything keyed by doc_id, so the plan
+    partitions by document and survives any corpus size.
+    """
+    from pyspark.sql import Window
+
+    w = words_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        word_ngrams_col(F.col(text_col), 2).alias("__bgs"),
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("__word_chars"),
+    )
+    counts = (
+        base.select(id_col, "__word_chars", F.explode("__bgs").alias("__bg"))
+        .groupBy(id_col, "__word_chars", "__bg")
+        .agg(F.count("*").alias("__n"))
+    )
+    rk = Window.partitionBy(id_col).orderBy(F.col("__n").desc(), F.col("__bg"))
+    top = (
+        counts.withColumn("__rk", F.row_number().over(rk))
+        .filter(F.col("__rk") == 1)
+        .select(
+            id_col,
+            F.col("__bg").alias("top_2gram"),
+            F.col("__n").alias("top_2gram_count"),
+            _safe_frac(
+                F.col("__n") * (F.length("__bg") - 1), F.col("__word_chars")
+            ).alias("top_2gram_char_fraction"),
+        )
+    )
+    # docs with < 2 words have no bigram: fraction 0, NULL bigram
+    return (
+        docs.select(id_col).join(top, id_col, "left").select(
+            id_col,
+            "top_2gram",
+            F.coalesce("top_2gram_count", F.lit(0)).alias("top_2gram_count"),
+            F.coalesce("top_2gram_char_fraction", F.lit(0.0)).alias(
+                "top_2gram_char_fraction"
+            ),
+        )
+    )
+
+
+def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """All repetition signals per document: duplicate lines (count + char
+    weighted), duplicate words, duplicate 5-grams, and the top-bigram
+    character fraction."""
+    t = F.col(text_col)
+    per_row = docs.select(
+        F.col(id_col),
+        F.size(lines_col(t)).alias("n_lines"),
+        dup_line_fraction_col(t).alias("dup_line_fraction"),
+        dup_line_char_fraction_col(t).alias("dup_line_char_fraction"),
+        dup_word_fraction_col(t).alias("dup_word_fraction"),
+        dup_ngram_fraction_col(t, 5).alias("dup_5gram_fraction"),
+    )
+    return per_row.join(
+        top_bigram_char_fraction(docs, id_col, text_col), id_col
+    )

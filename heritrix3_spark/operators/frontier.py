@@ -53,6 +53,7 @@ S_OUT_OF_SCOPE = -5000
 S_BLOCKED_BY_USER = -5001
 S_BLOCKED_BY_CUSTOM_PROCESSOR = -5002
 S_BLOCKED_BY_QUOTA = -5003
+S_BLOCKED_BY_RUNTIME_LIMIT = -5004
 S_DELETED_BY_USER = -6000
 S_ROBOTS_PRECLUDED = -9998
 S_DNS_SUCCESS = 1

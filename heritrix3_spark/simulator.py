@@ -116,6 +116,22 @@ class SimConfig:
     # CrawlConfig.form_credentials (credentialPrecondition defer + login
     # prerequisite + domain promotion; operators/auth.py form section)
     form_credentials: tuple = ()
+    # RuntimeLimitEnforcer — laws shared with CrawlConfig.runtime_limit_s
+    # (round-start elapsed check; "pause"/"terminate" stop, "block" fails
+    # every emitted URI with -5004 + the Runtime-exceeded annotation)
+    runtime_limit_s: int = -1
+    runtime_limit_op: str = "pause"
+    # CrawlMapper family — laws shared with CrawlConfig.crawl_mapper
+    # (operators/mapper.py: hash = std64 fp modulo, lexical = TreeMap
+    # tailMap; check_uri diverts due rows to -5002 disregard before
+    # preconditions; check_outlinks drops mapped-away candidates pre-seen)
+    crawl_mapper: str = "off"  # "off" | "hash" | "lexical"
+    mapper_local_name: str = "."
+    mapper_crawler_count: int = 1
+    mapper_psl_reduce: bool = True
+    mapper_map: tuple = ()
+    mapper_check_uri: bool = True
+    mapper_check_outlinks: bool = True
 
 
 @dataclass
@@ -201,6 +217,7 @@ def simulate(
     config: SimConfig | None = None,
     status_overrides: dict[str, int] | None = None,
     web_ct: dict[str, str] | None = None,
+    diversions: list | None = None,
 ):
     """Run the golden crawl.
 
@@ -262,6 +279,53 @@ def simulate(
             if p not in prefixes:
                 prefixes.append(p)
 
+    def _class_key_of(canonical: str, hops_path: str, via):
+        """Queue key per the configured policy (prereqs ride via's queue)."""
+        if cfg.queue_assignment == "surt":
+            return surt_authority_class_key(canonical, hops_path, via)
+        from heritrix3_spark.functions.surt import (
+            assignment_level_class_key,
+            bucket_class_key,
+            hostname_class_key,
+        )
+
+        basis = via if (hops_path.endswith("P") and via) else canonical
+        return {
+            "hostname": hostname_class_key,
+            "assignment_level": assignment_level_class_key,
+            "bucket": bucket_class_key,
+        }[cfg.queue_assignment](basis)
+
+    # CrawlMapper node-name law (operators/mapper.py scalar twins)
+    if cfg.crawl_mapper != "off":
+        from heritrix3_spark.fp import std64 as _std64
+        from heritrix3_spark.functions.psl import (
+            reduce_surt_to_assignment_level as _psl_reduce,
+        )
+        from heritrix3_spark.operators.mapper import (
+            hash_crawler_name as _hash_name,
+            lexical_crawler_name as _lex_name,
+        )
+
+    def _mapper_target(ck: str) -> str:
+        if cfg.crawl_mapper == "hash":
+            key = _psl_reduce(ck) if cfg.mapper_psl_reduce else ck
+            return _hash_name(key, cfg.mapper_crawler_count)
+        return _lex_name(ck, cfg.mapper_map)
+
+    # per-round diversion-line buffer: (target, std64 uri fp) -> min line
+    # (the recentlySeen dedup law + the engine's per-round min(line) fold)
+    divert_round: dict[tuple, str] = {}
+
+    def _divert(rnd: int, tgt: str, ck: str, uri: str, hops: str, via) -> None:
+        if diversions is None:
+            return
+        line = f"{ck} CrawlURI {uri} {hops or ''} {via or ''}"
+        key = (rnd, tgt, _std64.fp(uri))
+        prev = divert_round.get(key)
+        if prev is None or line < prev:
+            divert_round[key] = line
+
     def schedule(uri, hops_path, via, is_seed, directive, force=False, data=None):
         """schedule->add (or addForce when ``force``): returns True when
         the URI entered the frontier. ``data`` is the inherited heritable
@@ -275,23 +339,7 @@ def simulate(
         if fp in seen and not force:
             return False
         seen.add(fp)
-        if cfg.queue_assignment == "surt":
-            ck = surt_authority_class_key(canonical, hops_path, via)
-        else:
-            from heritrix3_spark.functions.surt import (
-                assignment_level_class_key,
-                bucket_class_key,
-                hostname_class_key,
-            )
-
-            basis = (
-                via if (hops_path.endswith("P") and via) else canonical
-            )
-            ck = {
-                "hostname": hostname_class_key,
-                "assignment_level": assignment_level_class_key,
-                "bucket": bucket_class_key,
-            }[cfg.queue_assignment](basis)
+        ck = _class_key_of(canonical, hops_path, via)
         cost = _cost(uri, via)
         s = SimURI(
             uri=uri,
@@ -374,6 +422,12 @@ def simulate(
     T = 0
     futures: list[tuple[int, SimURI]] = []  # (reschedule_time, uri)
     for rnd in range(cfg.max_rounds):
+        # RuntimeLimitEnforcer at the round-start clock (engine-parity law)
+        rt_block = False
+        if cfg.runtime_limit_s >= 0 and T > cfg.runtime_limit_s * 1000:
+            if cfg.runtime_limit_op in ("pause", "terminate"):
+                break
+            rt_block = True
         # futureUris maturation at round-start clock (checkFutures law)
         matured = [(t, u) for t, u in futures if t <= T]
         futures = [(t, u) for t, u in futures if t > T]
@@ -438,6 +492,42 @@ def simulate(
                 forced = None
                 reason = None
                 prereq_force = False
+
+                # RuntimeLimitEnforcer BLOCK_URIS (RuntimeLimitEnforcer.java
+                # :186-190): the kill switch wins over every other gate —
+                # -5004 is NOT in isDisregarded, so it disposes as a FAIL
+                # (charged like any failure)
+                if rt_block:
+                    q.total_expenditure += curi.cost + cfg.error_penalty
+                    log.append(
+                        dict(round=rnd, class_key=ck, uri=curi.uri,
+                             canonical=curi.canonical, ordinal=curi.ordinal,
+                             fetch_status=-5004, disposition="fail",
+                             source_tag=(curi.data or {}).get("source_tag"),
+                             content_type=None, content_length=0,
+                             annotation=(
+                                 f"Runtime exceeded "
+                                 f"{cfg.runtime_limit_s * 1000}ms"
+                             ))
+                    )
+                    continue
+
+                # CrawlMapper check-uri (CrawlMapper.java:201-213): early
+                # prefetch position — a mapped-away row diverts BEFORE
+                # preconditions/quota: -5002 disregard, never charged
+                if cfg.crawl_mapper != "off" and cfg.mapper_check_uri:
+                    tgt = _mapper_target(ck)
+                    if tgt != cfg.mapper_local_name:
+                        _divert(rnd, tgt, ck, curi.uri, curi.hops_path, curi.via)
+                        log.append(
+                            dict(round=rnd, class_key=ck, uri=curi.uri,
+                                 canonical=curi.canonical, ordinal=curi.ordinal,
+                                 fetch_status=-5002, disposition="disregard",
+                                 source_tag=(curi.data or {}).get("source_tag"),
+                                 content_type=None, content_length=0,
+                                 annotation=f"to:{tgt}")
+                        )
+                        continue
 
                 def _fresh(at: int, dur_s: int) -> bool:
                     # expired when fetched_at + dur*1000 < round-start clock
@@ -915,6 +1005,15 @@ def simulate(
             if promoted and directive == NORMAL:
                 directive = MEDIUM  # checkForSeedPromotion :270-278
             canonical = canonicalize(url)
+            # CrawlMapper check-outlinks (CrawlMapper.java:215-233): a
+            # post-scope candidate mapped to another node is removed before
+            # the uniq filter (never marked seen — the other node crawls it)
+            if cfg.crawl_mapper != "off" and cfg.mapper_check_outlinks:
+                ckc = _class_key_of(canonical, hops, via)
+                tgtc = _mapper_target(ckc)
+                if tgtc != cfg.mapper_local_name:
+                    _divert(rnd, tgtc, ckc, url, hops, via)
+                    continue
             # forceFetch: promoted seed (HER-1891) or redirect-canonical
             # collision (FrontierPreparer.java:236-256)
             collision = (
@@ -946,6 +1045,9 @@ def simulate(
             if p not in prefixes:
                 prefixes.append(p)
 
+    if diversions is not None:
+        for (rnd_k, tgt_k, _fpv), line in sorted(divert_round.items()):
+            diversions.append((rnd_k, tgt_k, line))
     return log, seen
 
 

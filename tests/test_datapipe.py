@@ -303,3 +303,69 @@ def test_ivf_refine_centroids(spark):
     before = (SIM._normalize(pts) @ seed.T).max(axis=1).mean()
     after = (SIM._normalize(pts) @ refined.T).max(axis=1).mean()
     assert after >= before  # Lloyd never degrades the objective here
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style repetition removal, Rae et al. 2021)
+# ---------------------------------------------------------------------------
+def test_repetition_signals_laws(spark):
+    from heritrix3_spark.datapipe.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 'dup dup' twice: 2 dup lines of 4 (7 chars of 22)
+            ("d1", "alpha beta\ndup dup\ngamma\ndup dup"),
+            # all-unique everything
+            ("d2", "one two three four five six"),
+            # heavy word repetition, no newlines (the 100TB-corpus shape)
+            ("d3", "spam spam spam spam spam spam ham"),
+            # empty + single-word edges
+            ("d4", ""),
+            ("d5", "word"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+
+    d1 = rows["d1"]
+    assert d1["n_lines"] == 4
+    assert d1["dup_line_fraction"] == 0.25  # 1 of 4 lines is a repeat
+    # chars: lines total 10+7+5+7=29, distinct 10+7+5=22 -> 7/29
+    assert d1["dup_line_char_fraction"] == round(7 / 29, 6)
+    # words: alpha beta dup dup gamma dup dup -> 7 words, 4 distinct
+    assert d1["dup_word_fraction"] == round(3 / 7, 6)
+
+    d2 = rows["d2"]
+    assert d2["dup_line_fraction"] == 0.0
+    assert d2["dup_word_fraction"] == 0.0
+    assert d2["dup_5gram_fraction"] == 0.0
+    # 6 words -> 5 bigrams all unique: top count 1
+    assert d2["top_2gram_count"] == 1
+
+    d3 = rows["d3"]
+    # 'spam spam' x5 of 6 bigrams; word chars 6*4+3=27; frac 5*8/27
+    assert d3["top_2gram"] == "spam spam"
+    assert d3["top_2gram_count"] == 5
+    assert d3["top_2gram_char_fraction"] == round(40 / 27, 6)
+    # 5-grams: [s s s s s] x2 + [s s s s h] -> 3 grams, 1 dup
+    assert d3["dup_5gram_fraction"] == round(1 / 3, 6)
+
+    for d in ("d4", "d5"):
+        r = rows[d]
+        assert r["dup_line_fraction"] == 0.0
+        assert r["dup_5gram_fraction"] == 0.0
+        assert r["top_2gram_count"] == 0
+        assert r["top_2gram_char_fraction"] == 0.0
+        assert r["top_2gram"] is None
+
+
+def test_word_ngrams_sequence_guard(spark):
+    # Spark sequence(1, stop) DESCENDS for stop < 1 — the guard must kick in
+    from heritrix3_spark.datapipe.text import word_ngrams_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b c",), ("a",), ("",)], ["text"])
+    got = [r[0] for r in df.select(word_ngrams_col(F.col("text"), 5)).collect()]
+    assert got == [[], [], []]
+    got2 = [r[0] for r in df.select(word_ngrams_col(F.col("text"), 2)).collect()]
+    assert got2 == [["a b", "b c"], [], []]
