@@ -168,3 +168,137 @@ def test_cuckoo_uniq_forget_supported(spark, tmp_path):
         .count()
         == 0
     )
+
+
+# ===========================================================================
+# SurtPrefixSetTest (commons/src/test/java/org/archive/util/
+# SurtPrefixSetTest.java:34-162) + PrefixFinderTest (commons/src/test/java/
+# org/archive/settings/file/PrefixFinderTest.java:51-107) — ported against
+# heritrix3_spark/functions/surtprefix.py. The SurtPrefixSet class itself
+# lives in the external webarchive-commons dependency; these in-repo test
+# vectors ARE its documented law.
+# ===========================================================================
+from heritrix3_spark.functions.surt import surt as _surt
+from heritrix3_spark.functions.surtprefix import SurtPrefixSet, find_prefixes
+
+_ARCHIVE_ORG_DOMAIN = "http://(org,archive,"
+_WWW_EXAMPLE_ORG_HOST = "http://(org,example,www,)"
+_HOME_EXAMPLE_ORG_PATH = "http://(org,example,home,)/pages/"
+_BOK_IS_REDUNDANT = "http://(is,bok,"
+_IS_DOMAIN = "http://(is,"
+_WWW_BOK_IS_REDUNDANT = "http://(is,bok,www"
+
+_TEST_SURT_LIST = (
+    "# a test set of surt prefixes \n"
+    + _ARCHIVE_ORG_DOMAIN + "\n"
+    + _WWW_EXAMPLE_ORG_HOST + "\n"
+    + _HOME_EXAMPLE_ORG_PATH + "\n"
+    + _BOK_IS_REDUNDANT + " # is redundant\n"
+    + _IS_DOMAIN + "\n"
+    + _WWW_BOK_IS_REDUNDANT + " # is redundant\n"
+)
+
+
+def test_surt_prefix_set_misc():
+    """SurtPrefixSetTest.testMisc: import prunes redundant entries;
+    containsPrefixOf implements the scope membership law."""
+    surts = SurtPrefixSet()
+    surts.import_from(_TEST_SURT_LIST)
+
+    for member in (_ARCHIVE_ORG_DOMAIN, _WWW_EXAMPLE_ORG_HOST,
+                   _HOME_EXAMPLE_ORG_PATH, _IS_DOMAIN):
+        assert surts.contains(member), member
+    for redundant in (_BOK_IS_REDUNDANT, _WWW_BOK_IS_REDUNDANT):
+        assert not surts.contains(redundant), redundant
+
+    assert surts.contains_prefix_of(_surt("http://example.is/foo"))
+    assert not surts.contains_prefix_of(_surt("http://home.example.org/foo"))
+
+
+def test_surt_prefix_set_import_from_uris():
+    """SurtPrefixSetTest.testImportFromUris — the five conversion vectors."""
+    cases = [
+        ("http://www.archive.org/index.html", "http://(org,archive,www,)/"),
+        ("http://timmknibbs4senate.blogspot.com/",
+         "http://(com,blogspot,timmknibbs4senate,)/"),
+        ("https://one.two.three", "http://(three,two,one,"),
+        ("https://xone.two.three/a/b/c/", "http://(three,two,xone,)/a/b/c/"),
+        ("https://yone.two.three/a/b/c", "http://(three,two,yone,)/a/b/"),
+    ]
+    for seed, want in cases:
+        s = SurtPrefixSet()
+        s.import_from_uris(seed)
+        got = list(s)
+        assert got == [want], f"Convert failed {seed}: {got}"
+
+
+def test_prefix_finder_none_found_small_set():
+    """PrefixFinderTest.testNoneFoundSmallSet."""
+    assert find_prefixes(["foo"], "baz") == []
+
+
+def test_prefix_finder_one_found_small_set():
+    """PrefixFinderTest.testOneFoundSmallSet."""
+    assert find_prefixes(["foo"], "foobar") == ["foo"]
+
+
+def test_prefix_finder_urls_no_match():
+    """PrefixFinderTest.testUrlsNoMatch: a probe that is a PREFIX OF every
+    member (rather than prefixed by one) matches nothing."""
+    import random
+
+    rng = random.Random(42)  # deterministic stand-in for Math.random()
+    keys = sorted(
+        ["http://(com,ilovepauljack,www,"]
+        + [f"http://{rng.random()}" for _ in range(10)]
+    )
+    assert find_prefixes(keys, "http://") == []
+
+
+def test_prefix_finder_skip_scan_contract():
+    """The disabled reference doTest (xtestFind), made deterministic: the
+    result equals the brute-force prefix list and every element is a
+    prefix of the probe."""
+    import random
+
+    rng = random.Random(7)
+    prefix = "0"
+    data = {prefix}
+    for i in range(1, 10_000):
+        if rng.randrange(1024) == 0:
+            prefix += f" {i}"
+            data.add(prefix)
+        else:
+            data.add(f"{prefix} {i}")
+    keys = sorted(data)
+    expected = sorted(
+        (v for v in data if prefix.startswith(v)), key=len, reverse=True
+    )
+    result = find_prefixes(keys, prefix)
+    assert result == expected
+    assert all(prefix.startswith(v) for v in result)
+
+
+def test_surt_prefix_set_feeds_scope_rule(spark):
+    """as_decide_prefixes plugs into the SurtPrefixedDecideRule column."""
+    from pyspark.sql import functions as F
+
+    from heritrix3_spark.operators.scope import ACCEPT, surt_prefixed
+
+    s = SurtPrefixSet()
+    s.import_from(_TEST_SURT_LIST)
+    df = spark.createDataFrame(
+        [("http://example.is/foo",), ("http://home.example.org/foo",),
+         ("http://home.example.org/pages/x",)],
+        ["uri"],
+    )
+    got = {
+        r["uri"]: r["d"]
+        for r in df.select(
+            "uri",
+            surt_prefixed(F.col("uri"), s.as_decide_prefixes()).alias("d"),
+        ).collect()
+    }
+    assert got["http://example.is/foo"] == ACCEPT
+    assert got["http://home.example.org/foo"] != ACCEPT
+    assert got["http://home.example.org/pages/x"] == ACCEPT
