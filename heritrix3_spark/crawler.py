@@ -48,7 +48,7 @@ from pyspark.sql.types import (
 from heritrix3_spark.functions import mime as MIME
 from heritrix3_spark.operators import auth as AUTH
 from heritrix3_spark.functions.canonicalize import canonical_col
-from heritrix3_spark.functions.surt import class_key_col
+from heritrix3_spark.functions.surt import class_key_col, server_key_col
 from heritrix3_spark.operators import frontier as FR
 from heritrix3_spark.operators import mapper as MAP
 from heritrix3_spark.operators import scope as SC
@@ -658,7 +658,9 @@ class CrawlEngine:
         quotas = dict(self.cfg.quotas)
         emitted = (
             emitted.withColumn(
-                "__q_server", F.when(~F.col("__is_dns"), F.col("__server"))
+                # server-category quota keys by CrawlServer.getServerKey
+                # (https carries ':443'; QuotaEnforcer.getEndCondition)
+                "__q_server", F.when(~F.col("__is_dns"), F.col("__server_key"))
             )
             .withColumn("__q_host", F.substring_index(F.col("__q_server"), ":", 1))
             .withColumn("__q_group", F.when(~F.col("__is_dns"), F.col("class_key")))
@@ -1265,6 +1267,14 @@ class CrawlEngine:
             ).withColumn(
                 "__is_robots",
                 F.col("canonical").rlike(r"^[^:/?#]+://[^/?#]*/robots\.txt$"),
+            ).withColumn(
+                # CrawlServer.getServerKey (CrawlServer.java:259-283): the
+                # SERVER-STATE key — https without a port appends ':443' so
+                # https robots/quota state never shares a CrawlServer with
+                # http. __server (raw authority / dns name) still builds
+                # prerequisite URIs and keys dns-by-hostname state.
+                "__server_key",
+                server_key_col(F.col("canonical")),
             )
             # The dns/robots state tables are unbounded (one row per server
             # ever seen — 10^6-10^8 at web scale, robots bodies <=500KB
@@ -1324,18 +1334,24 @@ class CrawlEngine:
                 )
 
                 if self.robots_t.exists():
+                    # robots state is keyed by the CrawlServer key (https
+                    # carries ':443'), so both the prune set and the join
+                    # use __server_key, not the raw authority
+                    round_skeys = emitted.select(
+                        F.col("__server_key").alias("__sk")
+                    ).distinct()
                     rb = self.robots_t.read(self.spark).select(
                         F.col("server").alias("__rb_server"),
                         F.col("body").alias("__rb_body"),
                         F.col("fetched_at").alias("__rb_at"),
                     )
                     rb = rb.join(
-                        F.broadcast(round_servers),
-                        rb["__rb_server"] == F.col("__srv"),
+                        F.broadcast(round_skeys),
+                        rb["__rb_server"] == F.col("__sk"),
                         "left_semi",
                     )
                     emitted = emitted.join(
-                        rb, emitted["__server"] == F.col("__rb_server"), "left"
+                        rb, emitted["__server_key"] == F.col("__rb_server"), "left"
                     ).drop("__rb_server")
                 else:
                     emitted = emitted.withColumn(
@@ -2276,7 +2292,7 @@ class CrawlEngine:
         # (DispositionProcessor.innerProcess robots update :174-219)
         if cfg.robots == "obey":
             rb_new = fetched.filter(F.col("__is_robots") & ~F.col("__no_fetch")).select(
-                F.col("__server").alias("server"),
+                F.col("__server_key").alias("server"),
                 F.when(
                     (F.col("fetch_status") >= 200)
                     & (F.col("fetch_status") < 300)

@@ -198,6 +198,39 @@ def assignment_level_class_key_col(uri: Column) -> Column:
     )
 
 
+def server_key_col(uri: Column) -> Column:
+    """CrawlServer.getServerKey (modules/.../net/CrawlServer.java:259-283):
+    the server-state lookup key — authority minus userinfo; ``dns:`` URIs
+    key by the looked-up name; https WITHOUT an explicit port appends
+    ':443' so https state never shares a CrawlServer with http. This is
+    the key for robots-state and server-category quota lookups."""
+    scheme = F.lower(F.regexp_extract(uri, r"^([^:/?#]+)://", 1))
+    authority = F.regexp_extract(uri, r"^[^:/?#]+://(?:[^/?#@]*@)?([^/?#]*)", 1)
+    dns_name = F.when(
+        uri.startswith("dns:"), F.substring(uri, 5, 4096)
+    )
+    https_no_port = (scheme == "https") & ~authority.rlike(r".+:[0-9]+$")
+    keyed = F.when(https_no_port, F.concat(authority, F.lit(":443"))).otherwise(
+        authority
+    )
+    return F.coalesce(dns_name, keyed)
+
+
+def server_key(url: str) -> str | None:
+    """Scalar twin of :func:`server_key_col` (CrawlServerTest.testGetServerKey
+    vector: https://www.example.com -> www.example.com:443)."""
+    if url.startswith("dns:"):
+        name = url[4:]
+        return name if re.fullmatch(r"[-_\w\.:]+", name) else None
+    m = re.match(r"^([^:/?#]+)://(?:[^/?#@]*@)?([^/?#]*)", url)
+    if not m or not m.group(2):
+        return None
+    scheme, authority = m.group(1).lower(), m.group(2)
+    if scheme == "https" and not re.search(r".+:[0-9]+$", authority):
+        authority += ":443"
+    return authority
+
+
 # ---------------------------------------------------------------------------
 # scalar twins of the alternate queue policies (simulator / oracle use)
 # ---------------------------------------------------------------------------

@@ -35,12 +35,22 @@ def reject_all() -> Column:
     return F.lit(REJECT)
 
 
+def candidate_surt_col(uri: Column) -> Column:
+    """SurtPrefixSet.getCandidateSurt: the candidate's SURT form with https
+    coerced to http for comparison — seed-implied prefixes are stored
+    http-forced (prefixFromPlainForceHttp), so https candidates must
+    compare in the same coordinate or no https URI would ever be in scope
+    (SurtPrefixedDecideRule.java:186-190)."""
+    return F.regexp_replace(surt_col(uri), "^https://", "http://")
+
+
 def surt_auth_level_col(uri: Column) -> Column:
     """The URI's authority-level SURT (scheme + '(authority)' — cut at the
-    first ')', inclusive): the candidate-side key of every seed-implied
-    prefix test. Shared by the InSet path below and the crawler's
-    broadcast-join path so both compare identical strings."""
-    s = surt_col(uri)
+    first ')', inclusive), https coerced to http (getCandidateSurt law):
+    the candidate-side key of every seed-implied prefix test. Shared by
+    the InSet path below and the crawler's broadcast-join path so both
+    compare identical strings."""
+    s = candidate_surt_col(uri)
     return F.concat(F.substring_index(s, ")", 1), F.lit(")"))
 
 
@@ -76,8 +86,10 @@ def surt_prefixed(uri: Column, prefixes: list[str], decision: int = ACCEPT) -> C
       scan, with the SURT string bound ONCE through a transform lambda
       (Catalyst re-evaluates captured subtrees inside HOF lambdas — the
       known expression-duplication pitfall, see canonicalize.py).
+
+    Both paths compare the getCandidateSurt form (https coerced to http).
     """
-    s = surt_col(uri)
+    s = candidate_surt_col(uri)
     auth_level = [p for p in prefixes if p.endswith(")") and p.count(")") == 1]
     general = [p for p in prefixes if not (p.endswith(")") and p.count(")") == 1)]
     hit = None
@@ -225,8 +237,9 @@ def matches_list_regex(uri: Column, patterns: list[str], decision: int = REJECT)
 # ---------------------------------------------------------------------------
 def not_surt_prefixed(uri: Column, prefixes: list[str], decision: int = REJECT) -> Column:
     """NotSurtPrefixedDecideRule (deciderules/surt/NotSurtPrefixedDecideRule
-    .java): decision when the SURT form does NOT start with any prefix."""
-    s = surt_col(uri)
+    .java): decision when the SURT form (getCandidateSurt coordinates) does
+    NOT start with any prefix."""
+    s = candidate_surt_col(uri)
     arr = F.array(*[F.lit(p) for p in prefixes])
     hit = F.exists(arr, lambda p: s.startswith(p))
     return F.when(~hit, F.lit(decision)).otherwise(F.lit(NONE))

@@ -166,7 +166,11 @@ def _sort_key(u: SimURI):
 def _scope_ok(uri: str, hops_path: str, prefixes: list[str], max_hops: int) -> bool:
     """Default-scope fold (see operators/scope.py for rule citations)."""
     decision = -1  # RejectDecideRule
+    # getCandidateSurt law: candidates compare https-coerced-to-http, the
+    # same coordinate the (prefixFromPlainForceHttp) prefixes live in
     s = surt(uri)
+    if s.startswith("https://"):
+        s = "http://" + s[len("https://"):]
     if any(s.startswith(p) for p in prefixes):
         decision = 1
     if _hop_count(hops_path) > max_hops:
@@ -489,6 +493,17 @@ def simulate(
                 scheme, server, path_q = _server_path(curi.canonical)
                 is_dns = scheme == "dns"
                 is_robots = path_q == "/robots.txt"
+                # CrawlServer.getServerKey (CrawlServer.java:259-283): the
+                # SERVER-STATE key — https without an explicit port appends
+                # ':443' so https robots/quota state never shares a
+                # CrawlServer with the http one. dns names key as-is.
+                skey = server
+                if (
+                    scheme == "https"
+                    and server
+                    and not _re.search(r".+:[0-9]+$", server)
+                ):
+                    skey = server + ":443"
                 forced = None
                 reason = None
                 prereq_force = False
@@ -542,7 +557,7 @@ def simulate(
                         forced, reason = -50, "dns"
                         prereq_force = server in dns_state  # stale, not new
                     elif cfg.robots == "obey" and not is_robots:
-                        rb = robots_state.get(server)
+                        rb = robots_state.get(skey)
                         rb_known = rb is not None and _fresh(
                             rb[1], cfg.robots_validity_duration_s
                         )
@@ -627,7 +642,7 @@ def simulate(
                 # chain position per profile cxml; dns: URIs exempt)
                 if quotas and forced is None and not is_dns:
                     if quota_blocked(
-                        quota_snapshot, server, server.split(":")[0], ck
+                        quota_snapshot, skey, skey.split(":")[0], ck
                     ):
                         if cfg.force_retire:
                             # retire queue without disposing the URI
@@ -710,7 +725,7 @@ def simulate(
                     if cfg.robots == "obey" and is_robots and server is not None:
                         # non-2xx robots -> NO_ROBOTS allow-all (engine
                         # upserts the 401 body "" the same way)
-                        robots_state[server] = (Robotstxt(""), T)
+                        robots_state[skey] = (Robotstxt(""), T)
                     continue
                 if attached is not None and status == 401 and curi.data:
                     # tried-and-failed: detach, die a natural 401 death
@@ -725,10 +740,10 @@ def simulate(
                 delay = min(delay, cfg.max_delay_ms)
                 if (
                     cfg.robots == "obey"
-                    and server in robots_state
-                    and _fresh(robots_state[server][1], cfg.robots_validity_duration_s)
+                    and skey in robots_state
+                    and _fresh(robots_state[skey][1], cfg.robots_validity_duration_s)
                 ):
-                    cd = robots_state[server][0].crawl_delay(cfg.user_agent)
+                    cd = robots_state[skey][0].crawl_delay(cfg.user_agent)
                     if delay < cfg.respect_crawl_delay_up_to_ms:
                         cd_ms = min(int(cd * 1000), cfg.respect_crawl_delay_up_to_ms)
                         if cd_ms > delay:
@@ -804,7 +819,7 @@ def simulate(
                         else 0
                     )
                     round_fetches.append(
-                        (curi.ordinal, server, ck, status, content, size, row)
+                        (curi.ordinal, skey, ck, status, content, size, row)
                     )
                 if is_dns and server is not None:
                     dns_state[server] = T  # resolved at round-start clock
@@ -815,7 +830,7 @@ def simulate(
                         )
                     else:
                         body = ""  # NO_ROBOTS: allow all
-                    robots_state[server] = (Robotstxt(body), T)
+                    robots_state[skey] = (Robotstxt(body), T)
                 # futureUris: successful non-prerequisite fetches re-visit
                 # at round_start + interval (prereq detection only exists
                 # when the precondition gate runs — engine parity)

@@ -39,8 +39,10 @@ def test_domain_host_rules(spark):
 def test_surt_and_via_rules(spark):
     prefixes = SC.seed_surt_prefixes(["http://shop.example/"])
     # prefixes carry the authority-closing ')' and the http form, so the
-    # subdomain (row 0) and the https candidate (row 2) are both non-prefixed
-    assert _vals(spark, SC.not_surt_prefixed(F.col("uri"), prefixes)) == [-1, -1, -1, -1]
+    # subdomain (row 0) is non-prefixed; the https candidate (row 2) IS
+    # prefixed — getCandidateSurt coerces https to http before comparing
+    # (SurtPrefixedDecideRule.java:186 via SurtPrefixSet.getCandidateSurt)
+    assert _vals(spark, SC.not_surt_prefixed(F.col("uri"), prefixes)) == [-1, -1, 0, -1]
     assert _vals(spark, SC.via_surt_prefixed(F.col("via"), prefixes)) == [1, 0, 0, 0]
     assert _vals(spark, SC.has_via(F.col("via"))) == [1, 0, 1, 1]
 

@@ -302,3 +302,101 @@ def test_surt_prefix_set_feeds_scope_rule(spark):
     assert got["http://example.is/foo"] == ACCEPT
     assert got["http://home.example.org/foo"] != ACCEPT
     assert got["http://home.example.org/pages/x"] == ACCEPT
+
+
+# ===========================================================================
+# CrawlServerTest.testGetServerKey (engine/src/test/java/org/archive/
+# crawler/datamodel/CrawlServerTest.java:38-45) + the server-state split
+# it implies: https CrawlServers never share robots/quota state with http.
+# ===========================================================================
+def test_get_server_key():
+    from pyspark.sql import functions as F
+
+    from heritrix3_spark.functions.surt import server_key
+
+    # the reference's named vector: "bad https key"
+    assert server_key("https://www.example.com") == "www.example.com:443"
+    # explicit ports pass through; http stays bare; dns keys by the name
+    assert server_key("https://www.example.com:8443/x") == "www.example.com:8443"
+    assert server_key("http://www.example.com/x") == "www.example.com"
+    assert server_key("dns:example.com") == "example.com"
+
+
+def test_server_key_column_twin(spark):
+    from pyspark.sql import functions as F
+
+    from heritrix3_spark.functions.surt import server_key, server_key_col
+
+    uris = [
+        "https://www.example.com",
+        "https://a.example:8443/x",
+        "http://b.example/x",
+        "dns:c.example",
+        "http://user:pw@d.example/q",
+    ]
+    df = spark.createDataFrame([(u,) for u in uris], ["uri"])
+    got = [r[0] for r in df.select(server_key_col(F.col("uri"))).collect()]
+    assert got == [server_key(u) for u in uris]
+
+
+def test_https_robots_state_split_parity(spark, tmp_path):
+    """https and http on the same host are distinct CrawlServers: each
+    obeys its own robots.txt (getServerKey ':443' law), in exact
+    engine-vs-simulator parity."""
+    from heritrix3_spark.crawler import CrawlConfig, CrawlEngine
+    from heritrix3_spark.simulator import SimConfig, simulate
+
+    link = lambda path: [  # noqa: E731
+        ("text", "page", None, 0),
+        ("link", "a", "/private", 1),
+        ("link", "b", "/pub", 2),
+    ]
+    web = {
+        # DIFFERENT robots per scheme-server
+        "https://hs.example/robots.txt": [
+            ("text", "User-agent: *\nDisallow: /private", None, 0)
+        ],
+        "http://hs.example/robots.txt": [
+            ("text", "User-agent: *\nDisallow: /pub", None, 0)
+        ],
+        "https://hs.example/a": link("a"),
+        "http://hs.example/a": link("a"),
+        "https://hs.example/private": [("text", "secret", None, 0)],
+        "https://hs.example/pub": [("text", "open", None, 0)],
+        "http://hs.example/private": [("text", "secret", None, 0)],
+        "http://hs.example/pub": [("text", "open", None, 0)],
+    }
+    seeds = ["https://hs.example/a", "http://hs.example/a"]
+    sim_log, sim_seen = simulate(web, seeds, SimConfig(robots="obey"))
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "https_split"),
+        spark.createDataFrame(
+            list(web.items()),
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        ),
+        CrawlConfig(num_buckets=4, ordinal_partitions=1, bloom=False,
+                    robots="obey"),
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=40)
+    srows = sorted(
+        (l["round"], l["class_key"], l["canonical"], l["ordinal"],
+         l["fetch_status"], l["disposition"])
+        for l in sim_log
+    )
+    erows = sorted(
+        (r.round, r.class_key, r.canonical, r.ordinal, r.fetch_status,
+         r.disposition)
+        for r in eng_log.collect()
+    )
+    assert erows == srows
+    assert {r.fp for r in eng.urlseen.seen(spark).collect()} == sim_seen
+    # the semantic law: each scheme obeys ITS OWN robots
+    by = {(r.canonical): r.disposition for r in eng_log.collect()
+          if not r.canonical.endswith("robots.txt") and r.canonical != ""}
+    assert by["https://hs.example/private"] == "disregard"
+    assert by["https://hs.example/pub"] == "success"
+    assert by["http://hs.example/private"] == "success"
+    assert by["http://hs.example/pub"] == "disregard"
