@@ -299,6 +299,21 @@ class CrawlConfig:
     # overlay keys: "total_budget", "k_per_host".
     # e.g. [{"surt_prefix": "example,hot,", "total_budget": 5, "k_per_host": 2}]
     overlays: tuple = ()
+    # Cookie model (AbstractCookieStore/BdbCookieStore; operators/
+    # cookies.py): "obey" -> fetched pages' "set-cookie" spans (the
+    # synthetic web's Set-Cookie header analog) land in a merge-on-read
+    # `cookies` state table at round end, keyed by the reference's
+    # sortableKey (domain;name;path), later-ordinal-wins within a round.
+    # Visibility is round-start (the macro-batch law, like form_auth).
+    # cookie_zones = ((server, path_prefix, cookie_name), ...) protect
+    # synthetic paths: a non-dns fetch whose request-cookie set (host +
+    # parent domains, path/secure/expiry matched — BdbCookieStore
+    # .cookieStoreFor + the HTTP client's spec step) lacks cookie_name
+    # answers 403 (after the auth gate; 401 wins). cookies_txt seeds the
+    # store at bootstrap (Netscape format).
+    cookies: str = "ignore"
+    cookie_zones: tuple = ()
+    cookies_txt: str = ""
     # RuntimeLimitEnforcer (prefetch/RuntimeLimitEnforcer.java:64-197):
     # once the crawl's elapsed virtual-clock runtime exceeds
     # runtime_limit_s (checked at round start — the macro-batch analog of
@@ -422,6 +437,10 @@ class CrawlEngine:
         # CrawlMapper diversion log (CrawlMapper.divertLog analog): one
         # append per round of (round, target, fp, line) rows
         self.divert_t = self.catalog.table("diversions")
+        # cookie store (BdbCookieStore analog): merge-on-read by the
+        # sortableKey — a round upserts only the cookies it set (O(delta));
+        # reads are semi-join-pruned to the round's host+parent-domain set
+        self.cookie_t = MergeOnReadTable(self.catalog, "cookies", "key")
         # seed-implied scope prefixes at 10^6-seed scale: the driver list
         # (InSet mode) is swapped for this table + a broadcast semi-join
         # when the seed count exceeds cfg.seed_prefix_inset_max
@@ -523,6 +542,27 @@ class CrawlEngine:
                 F.lit(self.clock).cast("long").alias("clock_ms"),
             )
         )
+        if self.cfg.cookies == "obey" and self.cfg.cookies_txt:
+            # cookiesLoadFile analog (AbstractCookieStore.loadCookies)
+            from heritrix3_spark.operators.cookies import (
+                CookieStore,
+                normalize_host,
+            )
+
+            store = CookieStore()
+            store.load_txt(self.cfg.cookies_txt)
+            if len(store):
+                self.cookie_t.overwrite(
+                    self.spark.createDataFrame(
+                        [
+                            (c.key(), normalize_host(c.domain), c.name,
+                             c.path, c.value, c.secure, c.expiry_s)
+                            for c in store.cookies()
+                        ],
+                        "key string, domain string, name string, path string,"
+                        " value string, secure boolean, expiry_s long",
+                    )
+                )
         self._checkpoint()
 
     # ------------------------------------------------------------------
@@ -1247,12 +1287,15 @@ class CrawlEngine:
         quotas_on = bool(cfg.quotas)
         auth_on = bool(cfg.auth_zones)
         form_on = bool(cfg.form_credentials)
+        cookies_on = cfg.cookies == "obey"
+        cookie_zoned = cookies_on and bool(cfg.cookie_zones)
         need_gate = (
             cfg.robots == "obey"
             or cfg.dns == "obey"
             or quotas_on
             or auth_on
             or form_on
+            or cookies_on
         )
         if need_gate:
             emitted = emitted.withColumn(
@@ -1538,6 +1581,95 @@ class CrawlEngine:
                     F.coalesce(F.col("__pr_hit"), F.lit(False))
                     & F.col("__store_matches"),
                 ).drop("__pr_hit")
+            if cookie_zoned:
+                # cookie zones (operators/cookies.py): does this row's
+                # request-cookie set contain the zone's cookie? The store
+                # is unbounded (50/domain x all domains) so — like robots —
+                # it is semi-join-pruned to the round's bounded
+                # host+parent-domain set (cookieStoreFor's composite walk,
+                # BdbCookieStore.java:176-190), then path/secure/expiry
+                # matched (the HTTP client's cookie-spec step).
+                path_ck = F.regexp_extract(
+                    "canonical", r"^[^:/?#]+://[^/?#]*(.*)$", 1
+                )
+                zone_name = F.lit(None).cast("string")
+                for srv, pfx, cname in reversed(cfg.cookie_zones):
+                    zone_name = F.when(
+                        (F.col("__server") == srv) & path_ck.startswith(pfx),
+                        F.lit(cname),
+                    ).otherwise(zone_name)
+                emitted = emitted.withColumn(
+                    "__ck_zone",
+                    F.when(~F.col("__is_dns"), zone_name),
+                )
+                if self.cookie_t.exists():
+                    host_ck = F.substring_index(F.col("__server"), ":", 1)
+                    labels = F.split(host_ck, r"\.")
+                    parents = F.transform(
+                        F.sequence(F.lit(1), F.size(labels)),
+                        lambda i: F.array_join(
+                            F.slice(labels, i, F.size(labels) - i + 1), "."
+                        ),
+                    )
+                    zr = emitted.filter(F.col("__ck_zone").isNotNull()).select(
+                        F.col("ordinal").alias("__zr_ord"),
+                        F.col("__ck_zone").alias("__zr_name"),
+                        (
+                            F.when(path_ck.startswith("/"), path_ck)
+                            .otherwise(F.lit("/"))
+                        ).alias("__zr_path"),
+                        (
+                            F.lower(
+                                F.regexp_extract("canonical", r"^([^:/?#]+)://", 1)
+                            )
+                            == "https"
+                        ).alias("__zr_secure"),
+                        F.explode(parents).alias("__zr_dom"),
+                    )
+                    ckt = self.cookie_t.read(self.spark)
+                    doms = zr.select(F.col("__zr_dom").alias("__d")).distinct()
+                    ckt = ckt.join(
+                        F.broadcast(doms), ckt["domain"] == F.col("__d"), "left_semi"
+                    )
+                    j = zr.join(
+                        ckt,
+                        (F.col("__zr_dom") == ckt["domain"])
+                        & (F.col("__zr_name") == ckt["name"]),
+                        "inner",
+                    )
+                    cp = F.coalesce(ckt["path"], F.lit("/"))
+                    path_ok = (F.col("__zr_path") == cp) | (
+                        F.col("__zr_path").startswith(cp)
+                        & (
+                            cp.endswith("/")
+                            | (
+                                F.substring(
+                                    F.col("__zr_path"), F.length(cp) + 1, 1
+                                )
+                                == "/"
+                            )
+                        )
+                    )
+                    fresh = ckt["expiry_s"].isNull() | (
+                        ckt["expiry_s"] >= F.lit(self.clock // 1000)
+                    )
+                    sec_ok = ~ckt["secure"] | F.col("__zr_secure")
+                    matched = (
+                        j.filter(path_ok & fresh & sec_ok)
+                        .select(F.col("__zr_ord").alias("__ok_ord"))
+                        .distinct()
+                    )
+                    emitted = (
+                        emitted.join(
+                            matched,
+                            emitted["ordinal"] == F.col("__ok_ord"),
+                            "left",
+                        )
+                        .withColumn("__cookie_ok", F.col("__ok_ord").isNotNull())
+                        .drop("__ok_ord")
+                    )
+                else:
+                    emitted = emitted.withColumn("__cookie_ok", F.lit(False))
         else:
             emitted = (
                 emitted.withColumn("__server", F.lit(""))
@@ -1606,6 +1738,14 @@ class CrawlEngine:
             )
             fetched = fetched.join(ov, fetched["canonical"] == ov["__ov_canon"], "left")
             status = F.coalesce(F.col("__ov_status"), status)
+        if cookie_zoned:
+            # cookie-zone gate: a zoned row whose request-cookie set lacks
+            # the zone cookie answers 403 (the synthetic server's session
+            # check). Applied before the auth law so a 401 wins overlap.
+            status = F.when(
+                F.col("__ck_zone").isNotNull() & ~F.col("__cookie_ok"),
+                F.lit(403),
+            ).otherwise(status)
         if auth_on:
             # 401 law (FetchHTTPRequest.populateTargetCredential +
             # handle401): a zone-protected fetch answers 401 unless creds
@@ -2317,6 +2457,46 @@ class CrawlEngine:
             else:
                 self.robots_t.overwrite(rb_new)
 
+        if cookies_on:
+            # Set-Cookie application (AbstractCookieStore.addCookie at
+            # round end): every 2xx page's "set-cookie" spans parse
+            # Arrow-batched (never via the driver — a round can set 10^6
+            # cookies at scale); later ordinal wins per sortableKey within
+            # the round (the serial fetch-order law), then one O(delta)
+            # merge-on-read upsert. Visibility is next round (macro-batch
+            # law, same as form_auth promotion).
+            from heritrix3_spark.operators.cookies import set_cookie_parse_col
+
+            sc_src = fetched.filter(
+                (F.col("fetch_status") >= 200)
+                & (F.col("fetch_status") < 300)
+                & ~F.col("__no_fetch")
+                & F.col("spans").isNotNull()
+            ).select(
+                F.col("ordinal"),
+                F.substring_index(F.col("__server"), ":", 1).alias("__host"),
+                F.explode(
+                    F.filter("spans", lambda s: s["kind"] == "set-cookie")
+                ).alias("__sc"),
+            )
+            parsed = sc_src.select(
+                "ordinal",
+                set_cookie_parse_col(
+                    F.col("__sc.text"), F.col("__host"), self.clock // 1000
+                ).alias("c"),
+            ).filter(F.col("c.key").isNotNull())
+            w_ck = Window.partitionBy("c.key").orderBy(F.col("ordinal").desc())
+            ck_new = (
+                parsed.withColumn("__r", F.row_number().over(w_ck))
+                .filter(F.col("__r") == 1)
+                .select("c.*")
+            )
+            if self.cookie_t.exists():
+                self.cookie_t.upsert(ck_new, seq=2 * self.round + 1)
+                self.cookie_t.maybe_compact(self.spark, every=self.COMPACT_EVERY)
+            else:
+                self.cookie_t.overwrite(ck_new)
+
         # promoteCredentials (FetchHTTP.java:766-817): a 2xx whose creds
         # came from the URI promotes them to the server — every later
         # fetch on that server presents them preemptively
@@ -2752,6 +2932,8 @@ class CrawlEngine:
                 "auth_state": self.auth_t.latest_version(),
                 "seed_prefixes": self.seed_prefix_t.latest_version(),
                 "diversions": self.divert_t.latest_version(),
+                "cookies": self.cookie_t.latest_version(),
+                "cookies__delta": self.cookie_t.delta.latest_version(),
             },
             state={
                 "round": self.round,

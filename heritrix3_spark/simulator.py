@@ -116,6 +116,12 @@ class SimConfig:
     # CrawlConfig.form_credentials (credentialPrecondition defer + login
     # prerequisite + domain promotion; operators/auth.py form section)
     form_credentials: tuple = ()
+    # Cookie model — laws shared with CrawlConfig.cookies/cookie_zones/
+    # cookies_txt (operators/cookies.py; round-start visibility, later
+    # ordinal wins per sortableKey, cookie-zone 403 before the auth 401)
+    cookies: str = "ignore"
+    cookie_zones: tuple = ()
+    cookies_txt: str = ""
     # RuntimeLimitEnforcer — laws shared with CrawlConfig.runtime_limit_s
     # (round-start elapsed check; "pause"/"terminate" stop, "block" fails
     # every emitted URI with -5004 + the Runtime-exceeded annotation)
@@ -397,6 +403,22 @@ def simulate(
     # documents-sink analog for TrapSuppressExtractor: canonical -> latest
     # archived payload (content tuple)
     archived: dict[str, tuple] = {}
+    # cookie store (operators/cookies.py laws); set-cookies apply at round
+    # end in ordinal order — round-start visibility, like the engine table
+    from heritrix3_spark.operators.cookies import (
+        CookieStore as _CookieStore,
+        parse_set_cookie as _parse_set_cookie,
+    )
+
+    cookie_store = _CookieStore()
+    if cfg.cookies == "obey" and cfg.cookies_txt:
+        cookie_store.load_txt(cfg.cookies_txt)
+
+    def _cookie_zone_for(server: str, path: str):
+        for srv, pfx, cname in cfg.cookie_zones:
+            if server == srv and path.startswith(pfx):
+                return cname
+        return None
 
     def quota_blocked(snapshot, server, host, group) -> bool:
         for cat, key in (("server", server), ("host", host), ("group", group)):
@@ -468,6 +490,7 @@ def simulate(
 
             quota_snapshot = _copy.deepcopy(quota_stats)
         round_fetches = []  # (ordinal, server, class_key, status, content, size)
+        pending_cookies: list = []  # (ordinal, Cookie) -> applied at round end
         round_promotions: set = set()  # lands in auth_promoted at round end
         round_form_auth: set = set()  # login successes -> form_auth at round end
         retire_marks: set[str] = set()
@@ -665,6 +688,28 @@ def simulate(
                     status = overrides.get(
                         curi.canonical, 200 if curi.canonical in web else 404
                     )
+                # cookie-zone gate (engine parity: applied before the auth
+                # 401, which wins overlap): a zoned row whose round-start
+                # request-cookie set lacks the zone cookie answers 403
+                if (
+                    cfg.cookies == "obey"
+                    and cfg.cookie_zones
+                    and not is_dns
+                    and server is not None
+                ):
+                    zname = _cookie_zone_for(server, path_q or "")
+                    if zname is not None:
+                        have = any(
+                            c.name == zname
+                            for c in cookie_store.request_cookies(
+                                server.split(":")[0],
+                                path_q if (path_q or "").startswith("/") else "/",
+                                secure=scheme == "https",
+                                now_s=T // 1000,
+                            )
+                        )
+                        if not have:
+                            status = 403
                 # --- HTTP auth 401 law (operators/auth.py; engine parity:
                 # same-queue earlier-batch promotions are visible, other
                 # queues' promotions land at round end) -------------------
@@ -807,6 +852,21 @@ def simulate(
                     content_length=ct_size,
                 )
                 log.append(row)
+                if (
+                    cfg.cookies == "obey"
+                    and 200 <= status < 300
+                    and not is_dns
+                    and server is not None
+                ):
+                    # Set-Cookie spans of the fetched page (engine parity:
+                    # applied at round end, later ordinal wins per key)
+                    for k, t, r, o in web.get(curi.canonical, []):
+                        if k == "set-cookie" and t:
+                            c = _parse_set_cookie(
+                                t, server.split(":")[0], now_s=T // 1000
+                            )
+                            if c is not None:
+                                pending_cookies.append((curi.ordinal, c))
                 if (quotas or cfg.digest_history) and not is_dns:
                     content = (
                         tuple(web[curi.canonical])
@@ -955,6 +1015,10 @@ def simulate(
             queues[rk].retired = True
         auth_promoted |= round_promotions
         form_auth |= round_form_auth
+        # round-end Set-Cookie application: ordinal order, replace by key
+        # (engine: later-ordinal-wins window + merge-on-read upsert)
+        for _ord, c in sorted(pending_cookies, key=lambda x: x[0]):
+            cookie_store.put(c)
         if quotas or cfg.digest_history:
             for ordinal, server, ck2, status, content, size, row in sorted(
                 round_fetches, key=lambda r: r[0]
