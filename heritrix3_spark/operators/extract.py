@@ -162,32 +162,12 @@ _COMMON_TLDS = {
 }
 
 
-# isVeryLikelyUri's false-positive blacklist (UriUtils.java:412-475):
-# text/application mimetypes, audio/video/image mimetypes (the reference
-# enumerates them; we pattern-match the same families), decimal numbers,
-# and css-class-like "tag.class" strings
-_RE_MIME_TEXT_APP = re.compile(r"(?:text|application)/[^/]+$")
-_RE_MIME_AVI = re.compile(r"(?i)^(?:audio|video|image)/[\w.+-]+$")
-_RE_DECIMAL = re.compile(r"\d+(?:\.\d+)*$")
-_HTML_TAGS = {
-    "a", "abbr", "b", "body", "br", "button", "div", "em", "font", "form",
-    "h1", "h2", "h3", "h4", "h5", "h6", "html", "i", "img", "input", "li",
-    "ol", "option", "p", "select", "span", "strong", "table", "td", "th",
-    "tr", "u", "ul",
-}
-
-
-def _is_very_likely_uri(s: str) -> bool:
-    if not _RE_LIKELY_URI.match(s):
-        return False
-    if _RE_MIME_TEXT_APP.fullmatch(s) or _RE_MIME_AVI.fullmatch(s):
-        return False
-    if _RE_DECIMAL.fullmatch(s):
-        return False
-    m = re.fullmatch(r"([^./]+)\.([^./]+)", s)
-    if m and m.group(1).lower() in _HTML_TAGS:
-        return False
-    return True
+# isVeryLikelyUri — the EXACT UriUtils.isVeryLikelyUri law
+# (UriUtils.java:412-477), implemented and UriUtilsTest-vector-verified in
+# functions/uriutils.py (an earlier hybrid approximation lived here)
+from heritrix3_spark.functions.uriutils import (  # noqa: E402
+    is_very_likely_uri as _is_very_likely_uri,
+)
 
 
 def _speculative_fixup(candidate: str, base: str) -> str:

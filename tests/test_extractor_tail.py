@@ -422,7 +422,13 @@ def test_swf_tag_walk_visitor_laws():
             b"\x00http://b.example/pushed\x00" + b"\x07\x01\x00\x00\x00"  # string + int
             + b"\x00not a url\x00",
         )
-        + _action(0x88, b"\x02\x00/c.example/pool.html\x00plainword\x00")
+        # pool strings run through the EXACT isVeryLikelyUri: a clean
+        # relative path is speculative; a DOTTED path segment
+        # ("/c.example/...") fails LIKELY_RELATIVE_URI_PATTERN and is NOT
+        # emitted (UriUtils.java:404-431)
+        + _action(
+            0x88, b"\x03\x00/cpool/pool.html\x00/c.example/pool.html\x00plainword\x00"
+        )
         + _action(0x00)
     )
     js = _action(
@@ -444,7 +450,7 @@ def test_swf_tag_walk_visitor_laws():
         assert urls == [
             "http://a.example/clicked",
             "http://b.example/pushed",
-            "/c.example/pool.html",
+            "/cpool/pool.html",
             "http://d.example/js.html",
             "http://e.example/sprite",
         ]

@@ -400,3 +400,146 @@ def test_https_robots_state_split_parity(spark, tmp_path):
     assert by["https://hs.example/pub"] == "success"
     assert by["http://hs.example/private"] == "success"
     assert by["http://hs.example/pub"] == "disregard"
+
+
+# ===========================================================================
+# UriUtilsTest (commons/src/test/java/org/archive/util/UriUtilsTest.java:
+# 36-247) — the speculative-URI heuristics behind ExtractorJS/XML/
+# Universal, ported against functions/uriutils.py (exact UriUtils.java
+# laws). Each test mirrors one enabled reference test method; tryAll =
+# isLikelyUri, legacyTryAll = the two legacy context laws.
+# ===========================================================================
+from heritrix3_spark.functions import uriutils as UU
+
+_URIS_RELATIVE_IMAGES = [
+    "photo.jpg", "./photo.jpg", "../photo.jpg", "images/photo.jpg",
+    "../../images/photo.jpg",
+]
+_URIS_ABSOLUTE = [
+    "http://example.com", "http://example.com/", "http://www.example.com",
+    "http://www.example.com/", "http://www.example.com/about",
+    "http://www.example.com/about/",
+    "http://www.example.com/about/index.html", "https://example.com",
+    "https://example.com/", "https://www.example.com",
+    "https://www.example.com/", "https://www.example.com/about",
+    "https://www.example.com/about/",
+    "https://www.example.com/about/index.html",
+    "ftp://example.com/public/report.pdf",
+    "http://a.example.com/combiner/c?js=analytics/sOmni.js,analytics/"
+    "analytics.js,analytics/zf.js,analytics/externalnielsen.js",
+    "http://l.example.com/jn/util/anysize/74*74c-86400,http%3A%2F%2F"
+    "l.example.com%2Fa%2Fi%2Fus%2Fshine%2Fmoreon%2F74.upallnight.jpg",
+]
+_URIS_RELATIVE = [
+    "default.asp?type=1",
+    "\\/add\\/page?.crumb=O2.eArRHJUUWRkVHN6L0Y.&frompg=p1",
+    "/wiki/Ficheiro:Wikiversity-logo.svg",
+    "cssp!gelui-1/overlay",
+    "/wiki/%E0%B4%B8%E0%B4%B9%E0%B4%BE%E0%B4%AF%E0%B4%82:To_Read_in_Malayalam",
+    "/wiki/Wikiversity:Why_create_an_account%3F",
+]
+_URIS_PATH_ABS_IMAGES = ["/photo.jpg", "/images/photo.jpg"]
+_NOT_URIS_NAIVE_FP = ["0.99", "3.14157", "text/javascript"]
+_NOT_URIS_NAIVE = ["foo bar", "<script>foo=bar</script>", "item\t$0.99\tred"]
+_UNUSUAL_CHAR_FP = [
+    "),f=document.getElementsByTagName(",
+    "window.location.href='/'",
+    "location='http://example.com/blah/'",
+    "http://example.com/intent/user?screen_name='+p.user+'",
+    ").append(",
+    "[\\x3cb\\x3e-\\x3c/b\\x3e]",
+    'http://demo.example.net/panama.php?cgroup=ron728x90&pid="+pid+"&uid='
+    '"+uid+"&rid="+rid+"&kw=10&cx=10&bh=10',
+]
+_MIMETYPE_FP = [
+    "text/javascript", "text/css", "application/x-shockwave-flash",
+    "text/javaScript", "text/html", "application/x-www-form-urlencoded",
+    "text/xml", "text/plain", "application/x-mplayer2", "application/json",
+    "image/jpeg", "image/x-icon", "audio/mpeg", "image/gif", "audio/ogg",
+    "video/quicktime", "audio/x-pn-realaudio-plugin",
+]
+_PLUS_FP = [
+    "+resp.result+",
+    ";overlay.style.width=viewport_dimensions.width+",
+    "+_ti;bb.src=",
+]
+
+
+def _try_all(candidates, expected):
+    for c in candidates:
+        assert UU.is_likely_uri(c) is expected, c
+
+
+def _legacy_try_all(candidates, expected):
+    for c in candidates:
+        assert UU.is_likely_uri_javascript_context_legacy(c) is expected, (
+            "javascript context: " + c
+        )
+        assert UU.is_likely_uri_html_context_legacy(c) is expected, (
+            "html context: " + c
+        )
+
+
+def test_uriutils_is_data_uri():
+    assert UU.is_data_uri("data:,hello")
+    assert UU.is_data_uri("data:text/plain,hello")
+    assert UU.is_data_uri("   data:,hello")
+    assert UU.is_data_uri("   dAtA:,hello//  ")
+    assert not UU.is_data_uri("")
+    assert not UU.is_data_uri(" http://example.org/")
+    assert not UU.is_data_uri("http://example.org/")
+    assert not UU.is_data_uri("\0\1\2\3garbage")
+
+
+def test_uriutils_new_simple_image_relatives():
+    _try_all(_URIS_RELATIVE_IMAGES, True)
+
+
+def test_uriutils_legacy_absolutes():
+    _legacy_try_all(_URIS_ABSOLUTE, True)
+
+
+def test_uriutils_absolutes():
+    _try_all(_URIS_ABSOLUTE, True)
+
+
+def test_uriutils_relatives():
+    _try_all(_URIS_RELATIVE, True)
+
+
+def test_uriutils_legacy_simple_image_path_absolutes():
+    _legacy_try_all(_URIS_PATH_ABS_IMAGES, True)
+
+
+def test_uriutils_simple_image_path_absolutes():
+    _try_all(_URIS_PATH_ABS_IMAGES, True)
+
+
+def test_uriutils_naive_false_positives():
+    _try_all(_NOT_URIS_NAIVE_FP, False)
+
+
+def test_uriutils_legacy_naive_not_uris():
+    _legacy_try_all(_NOT_URIS_NAIVE, False)
+
+
+def test_uriutils_naive_not_uris():
+    _try_all(_NOT_URIS_NAIVE, False)
+
+
+def test_uriutils_unusual_character_false_positives():
+    _try_all(_UNUSUAL_CHAR_FP, False)
+
+
+def test_uriutils_mimetypes_false_positives():
+    _try_all(_MIMETYPE_FP, False)
+
+
+def test_uriutils_starts_or_ends_with_plus_false_positives():
+    _try_all(_PLUS_FP, False)
+
+
+def test_uriutils_double_slash_false_positives():
+    # the reference's testDoubleSlashFalsePositives mistakenly re-tests the
+    # plus array; we test the double-slash vectors it DECLARES
+    _try_all([".//*", "http://example.com/monkey//foo/whatever"], False)
