@@ -143,8 +143,25 @@ class CrawlConfig:
     queue_precedence_base: int = 1
     precedence_floor: int = 255
     # CrawlLimitEnforcer (framework/CrawlLimitEnforcer.java): stop the crawl
-    # once this many URIs have been fetched (-1 = unlimited)
+    # once this many URIs have been fetched (-1 = unlimited).
+    # maxDocumentsDownload -> FINISHED_DOCUMENT_LIMIT.
     max_fetches: int = -1
+    # the rest of the CrawlLimitEnforcer limit family (CrawlLimitEnforcer
+    # .java:145-163; checked at round end against cumulative crawl stats,
+    # FIRST matching limit in the reference's order wins):
+    # bytesProcessed -> FINISHED_DATA_LIMIT; novelBytes / warcNovelBytes ->
+    # FINISHED_DATA_LIMIT; novelUriCount / warcNovelUriCount ->
+    # FINISHED_DOCUMENT_LIMIT; elapsed >= max_time_seconds*1000 ->
+    # FINISHED_TIME_LIMIT. 0 = off. Novelty is the duplicate:digest split
+    # (digest_history off -> every 2xx success is novel); warc counts ride
+    # the WARC-writer "response" stats (the warc_limits machinery, which
+    # counts non-revisit persisted records).
+    max_bytes_download: int = 0
+    max_novel_bytes: int = 0
+    max_warc_novel_bytes: int = 0
+    max_novel_urls: int = 0
+    max_warc_novel_urls: int = 0
+    max_time_seconds: int = 0
     # WARCLimitEnforcer (contrib postprocessor/WARCLimitEnforcer.java:
     # 88-113): {record_type: {stat_key: limit}} over the WARC-writer
     # running stats, mirroring BaseWARCWriterProcessor.getStats()'s
@@ -451,6 +468,10 @@ class CrawlEngine:
         self.clock = 0
         self.next_ordinal = 1
         self.total_fetched = 0
+        # CrawlLimitEnforcer cumulative stats (bytesProcessed / novel*)
+        self._crawl_bytes = 0
+        self._novel_urls = 0
+        self._novel_bytes = 0
         self.seed_prefixes: list[str] = []
         self.prefix_join_mode = False
         # round-scoped cached frames (localCheckpoint/persist), released
@@ -1941,7 +1962,7 @@ class CrawlEngine:
                 "content_type",
             )
         )
-        if cfg.warc_limits:
+        if cfg.warc_limits or cfg.max_warc_novel_bytes > 0 or cfg.max_warc_novel_urls > 0:
             self._update_warc_stats(fetched_ok)
         timer.mark("documents-append")
 
@@ -2652,8 +2673,43 @@ class CrawlEngine:
             self._update_quota_stats(fetched)
             timer.mark("quota-stats")
         # --- per-round metrics snapshot (CrawlStatSnapshot analog) ----------
-        # CrawlLimitEnforcer: global fetch cap
-        n_fetched = fetched.count()  # cached
+        # CrawlLimitEnforcer: global fetch cap (+ the byte/novel stats when
+        # any of the extended limits is configured — ONE aggregate job
+        # replaces the bare count, nothing extra otherwise)
+        if (
+            cfg.max_bytes_download > 0
+            or cfg.max_novel_bytes > 0
+            or cfg.max_novel_urls > 0
+        ):
+            rev = (
+                F.coalesce(F.col("__revisit"), F.lit(False))
+                if cfg.digest_history
+                else F.lit(False)
+            )
+            novel = (
+                (F.col("disposition") == "success")
+                & (F.col("fetch_status") >= 200)
+                & ~rev
+            )
+            lim = fetched.agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("fetch_status") >= 200, F.col("content_bytes"))
+                    ),
+                    F.lit(0),
+                ).alias("b"),
+                F.coalesce(F.sum(novel.cast("long")), F.lit(0)).alias("nu"),
+                F.coalesce(
+                    F.sum(F.when(novel, F.col("content_bytes"))), F.lit(0)
+                ).alias("nb"),
+            ).collect()[0]
+            n_fetched = int(lim.n)
+            self._crawl_bytes += int(lim.b)
+            self._novel_urls += int(lim.nu)
+            self._novel_bytes += int(lim.nb)
+        else:
+            n_fetched = fetched.count()  # cached
         self.total_fetched += n_fetched
         if cfg.metrics:
             depth = (
@@ -2708,9 +2764,36 @@ class CrawlEngine:
             # WARCLimitEnforcer: stop crawl (CrawlStatus.FINISHED_WRITE_LIMIT)
             self.stop_status = "FINISHED_WRITE_LIMIT"
             return False
+        # CrawlLimitEnforcer.checkForLimitsExceeded (:145-163) — the
+        # reference's if/else-if chain: FIRST matching limit wins
+        warc_resp = self._warc_stats.get("response", {})
+        if cfg.max_bytes_download > 0 and self._crawl_bytes >= cfg.max_bytes_download:
+            self.stop_status = "FINISHED_DATA_LIMIT"
+            return False
+        if cfg.max_novel_bytes > 0 and self._novel_bytes >= cfg.max_novel_bytes:
+            self.stop_status = "FINISHED_DATA_LIMIT"
+            return False
+        if (
+            cfg.max_warc_novel_bytes > 0
+            and warc_resp.get("contentBytes", 0) >= cfg.max_warc_novel_bytes
+        ):
+            self.stop_status = "FINISHED_DATA_LIMIT"
+            return False
         if cfg.max_fetches >= 0 and self.total_fetched >= cfg.max_fetches:
-            # CrawlLimitEnforcer: stop crawl (CrawlStatus.FINISHED_DOCUMENT_LIMIT)
+            # maxDocumentsDownload (CrawlStatus.FINISHED_DOCUMENT_LIMIT)
             self.stop_status = "FINISHED_DOCUMENT_LIMIT"
+            return False
+        if cfg.max_novel_urls > 0 and self._novel_urls >= cfg.max_novel_urls:
+            self.stop_status = "FINISHED_DOCUMENT_LIMIT"
+            return False
+        if (
+            cfg.max_warc_novel_urls > 0
+            and warc_resp.get("numRecords", 0) >= cfg.max_warc_novel_urls
+        ):
+            self.stop_status = "FINISHED_DOCUMENT_LIMIT"
+            return False
+        if cfg.max_time_seconds > 0 and self.clock >= cfg.max_time_seconds * 1000:
+            self.stop_status = "FINISHED_TIME_LIMIT"
             return False
         return True
 
@@ -2944,6 +3027,9 @@ class CrawlEngine:
                 "approx_seen": self.urlseen.approx_seen,
                 "total_fetched": self.total_fetched,
                 "warc_stats": self._warc_stats,
+                "crawl_bytes": self._crawl_bytes,
+                "novel_urls": self._novel_urls,
+                "novel_bytes": self._novel_bytes,
             },
         )
 
@@ -2973,6 +3059,9 @@ class CrawlEngine:
         eng.urlseen.approx_seen = st.get("approx_seen", 0)
         eng.total_fetched = st.get("total_fetched", 0)
         eng._warc_stats = st.get("warc_stats", {})
+        eng._crawl_bytes = st.get("crawl_bytes", 0)
+        eng._novel_urls = st.get("novel_urls", 0)
+        eng._novel_bytes = st.get("novel_bytes", 0)
         # roll tables back to the checkpointed snapshot (time-travel) by
         # re-committing those versions as latest when newer ones exist.
         # ver == 0 is a valid target (table/delta did not exist yet): the

@@ -116,6 +116,14 @@ class SimConfig:
     # CrawlConfig.form_credentials (credentialPrecondition defer + login
     # prerequisite + domain promotion; operators/auth.py form section)
     form_credentials: tuple = ()
+    # CrawlLimitEnforcer family — laws shared with CrawlConfig
+    # (max_fetches=maxDocumentsDownload; byte/novel/time limits checked at
+    # round end, first match in the reference's order wins)
+    max_fetches: int = -1
+    max_bytes_download: int = 0
+    max_novel_bytes: int = 0
+    max_novel_urls: int = 0
+    max_time_seconds: int = 0
     # Cookie model — laws shared with CrawlConfig.cookies/cookie_zones/
     # cookies_txt (operators/cookies.py; round-start visibility, later
     # ordinal wins per sortableKey, cookie-zone 403 before the auth 401)
@@ -447,6 +455,17 @@ def simulate(
     # --- rounds ---------------------------------------------------------
     T = 0
     futures: list[tuple[int, SimURI]] = []  # (reschedule_time, uri)
+    # CrawlLimitEnforcer cumulative stats (engine-parity definitions:
+    # bytes over status>=200 rows, novelty = 2xx success w/o
+    # duplicate:digest, fetched = every emitted row)
+    crawl_stats = dict(fetched=0, bytes=0, novel_urls=0, novel_bytes=0)
+    limits_on = (
+        cfg.max_fetches >= 0
+        or cfg.max_bytes_download > 0
+        or cfg.max_novel_bytes > 0
+        or cfg.max_novel_urls > 0
+        or cfg.max_time_seconds > 0
+    )
     for rnd in range(cfg.max_rounds):
         # RuntimeLimitEnforcer at the round-start clock (engine-parity law)
         rt_block = False
@@ -491,6 +510,8 @@ def simulate(
             quota_snapshot = _copy.deepcopy(quota_stats)
         round_fetches = []  # (ordinal, server, class_key, status, content, size)
         pending_cookies: list = []  # (ordinal, Cookie) -> applied at round end
+        round_log_start = len(log)
+        round_taken = 0
         round_promotions: set = set()  # lands in auth_promoted at round end
         round_form_auth: set = set()  # login successes -> form_auth at round end
         retire_marks: set[str] = set()
@@ -509,6 +530,7 @@ def simulate(
                 take.append(u)
                 spend += u.cost
             q.pending = q.pending[len(take) :]
+            round_taken += len(take)
             t_host = T
             bw_next = T  # earliestNextURIEmitTime carry (bandwidth cap)
             requeue = []
@@ -1123,6 +1145,42 @@ def simulate(
         for p in pending_prefixes:
             if p not in prefixes:
                 prefixes.append(p)
+        # CrawlLimitEnforcer.checkForLimitsExceeded (:145-163) — LAST in
+        # the round (the engine finishes the round, then stops): same
+        # cumulative definitions and check order. Runs after the digest
+        # loop so duplicate:digest annotations are visible.
+        if limits_on:
+            for lr in log[round_log_start:]:
+                st = lr["fetch_status"]
+                if st is None or st < 200:
+                    continue
+                cl = lr.get("content_length") or 0
+                crawl_stats["bytes"] += cl
+                if lr["disposition"] == "success" and "duplicate:digest" not in (
+                    lr.get("annotation") or ""
+                ):
+                    crawl_stats["novel_urls"] += 1
+                    crawl_stats["novel_bytes"] += cl
+            crawl_stats["fetched"] += round_taken
+            if (
+                cfg.max_bytes_download > 0
+                and crawl_stats["bytes"] >= cfg.max_bytes_download
+            ):
+                break
+            if (
+                cfg.max_novel_bytes > 0
+                and crawl_stats["novel_bytes"] >= cfg.max_novel_bytes
+            ):
+                break
+            if cfg.max_fetches >= 0 and crawl_stats["fetched"] >= cfg.max_fetches:
+                break
+            if (
+                cfg.max_novel_urls > 0
+                and crawl_stats["novel_urls"] >= cfg.max_novel_urls
+            ):
+                break
+            if cfg.max_time_seconds > 0 and T >= cfg.max_time_seconds * 1000:
+                break
 
     if diversions is not None:
         for (rnd_k, tgt_k, _fpv), line in sorted(divert_round.items()):
