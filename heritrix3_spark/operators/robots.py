@@ -252,3 +252,19 @@ def robots_crawl_delay_udf(body: pd.Series, ua: pd.Series) -> pd.Series:
         [_parse_cached(b or "").crawl_delay(u or "") for b, u in zip(body, ua)],
         dtype="float32",
     )
+
+
+def first_named_matched_agent(
+    robots: "Robotstxt", ua: str, candidates: tuple[str, ...] = ()
+) -> str | None:
+    """FirstNamedRobotsPolicy's curi.setUserAgent side effect
+    (FirstNamedRobotsPolicy.java:79-96): when a CANDIDATE user-agent's
+    named group decides (the primary UA had none), the fetch adopts that
+    candidate as its user-agent; returns None when the primary UA matched
+    a named group or the wildcard decided."""
+    if robots.directives_for_named(ua) is not None:
+        return None
+    for cand in candidates:
+        if robots.directives_for_named(cand) is not None:
+            return cand
+    return None

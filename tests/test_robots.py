@@ -228,3 +228,49 @@ def test_all_blank_lines():
 
     r = Robotstxt("\n" * MAX_SIZE)
     assert r.allows("anybot", "/foo")
+
+
+def test_first_named_robots_policy_decisions_by_listed_candidates():
+    """FirstNamedRobotsPolicyTest.testDecisionsByListedCandidates
+    (modules/src/test/java/org/archive/modules/net/
+    FirstNamedRobotsPolicyTest.java:61-83)."""
+    from heritrix3_spark.operators.robots import (
+        first_named_matched_agent,
+        policy_allows,
+    )
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /cgi-bin/\n"
+        "Disallow: /details/software\n"
+        "\n"
+        "User-agent: denybot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: allowbot1\n"
+        "Disallow: \n"
+        "\n"
+        "User-agent: allowbot2\n"
+        "Disallow: /foo\n"
+        "\n"
+        "User-agent: delaybot\n"
+        "Disallow: /\n"
+        "Crawl-Delay: 20\n"
+        "Allow: /images/\n"
+    )
+    robots = Robotstxt(body)
+    cands = ("unnamedBot", "allowbot2")
+    path = "/cgi-bin/whatever"
+    # disallowed by immediate match on primary user-agent disallow-all
+    assert not policy_allows("firstNamed", robots, "denybot", path, cands)
+    # allowed by immediate match on primary user-agent allow-all,
+    # and no custom user-agent is assigned
+    assert policy_allows("firstNamed", robots, "allowbot1", path, cands)
+    assert first_named_matched_agent(robots, "allowbot1", cands) is None
+    # allowed by the specific allowbot2 rules tried 3rd (after the
+    # unmatched primary and the unnamed candidate), which also assigns
+    # the matched candidate as the fetch's user-agent
+    assert policy_allows("firstNamed", robots, "goodbot", path, cands)
+    assert first_named_matched_agent(robots, "goodbot", cands) == "allowbot2"
+    # disallowed by the specific allowbot2 directive tried 3rd
+    assert not policy_allows("firstNamed", robots, "goodbot", "/foo", cands)
