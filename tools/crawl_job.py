@@ -34,8 +34,52 @@ def main() -> None:
     p.add_argument("--total-budget", type=int, default=-1)
     p.add_argument("--max-fetches", type=int, default=-1)
     p.add_argument("--num-buckets", type=int, default=64)
+    # CrawlLimitEnforcer family (0 = off)
+    p.add_argument("--max-bytes-download", type=int, default=0)
+    p.add_argument("--max-novel-bytes", type=int, default=0)
+    p.add_argument("--max-novel-urls", type=int, default=0)
+    p.add_argument("--max-time-seconds", type=int, default=0)
+    # RuntimeLimitEnforcer (-1 = off)
+    p.add_argument("--runtime-limit-s", type=int, default=-1)
+    p.add_argument(
+        "--runtime-limit-op", choices=["pause", "terminate", "block"],
+        default="pause",
+    )
+    # cookie model; --cookies-txt seeds the store (Netscape format file)
+    p.add_argument("--cookies", choices=["ignore", "obey"], default="ignore")
+    p.add_argument("--cookies-txt", default="")
+    # CrawlMapper: "hash:COUNT:LOCALNAME" or "lexical:MAPFILE:LOCALNAME"
+    # (MAPFILE lines: "<key> <crawler>", the LexicalCrawlMapper file format)
+    p.add_argument("--crawl-mapper", default="")
+    p.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default="bloom")
     p.add_argument("--resume", action="store_true")
     args = p.parse_args()
+
+    mapper_kw: dict = {}
+    if args.crawl_mapper:
+        kind, spec, local = args.crawl_mapper.split(":", 2)
+        if kind == "hash":
+            mapper_kw = dict(
+                crawl_mapper="hash",
+                mapper_crawler_count=int(spec),
+                mapper_local_name=local,
+            )
+        else:
+            with open(spec) as f:
+                entries = tuple(
+                    tuple(line.split(None, 1))
+                    for line in f.read().splitlines()
+                    if line.strip() and not line.startswith("#")
+                )
+            mapper_kw = dict(
+                crawl_mapper="lexical",
+                mapper_map=entries,
+                mapper_local_name=local,
+            )
+    cookies_txt = ""
+    if args.cookies_txt:
+        with open(args.cookies_txt) as f:
+            cookies_txt = f.read()
 
     # SparkSession comes from spark-submit's conf; fall back to local
     from pyspark.sql import SparkSession
@@ -51,6 +95,16 @@ def main() -> None:
         total_budget=args.total_budget,
         max_fetches=args.max_fetches,
         num_buckets=args.num_buckets,
+        max_bytes_download=args.max_bytes_download,
+        max_novel_bytes=args.max_novel_bytes,
+        max_novel_urls=args.max_novel_urls,
+        max_time_seconds=args.max_time_seconds,
+        runtime_limit_s=args.runtime_limit_s,
+        runtime_limit_op=args.runtime_limit_op,
+        cookies=args.cookies,
+        cookies_txt=cookies_txt,
+        seen_filter=args.seen_filter,
+        **mapper_kw,
     )
     web = spark.read.parquet(args.web)
     t0 = time.time()
@@ -67,6 +121,10 @@ def main() -> None:
         "fetched": log.count(),
         "scheduled": eng.seen_count(),
         "documents": eng.documents().count() if eng.documents_t.exists() else 0,
+        "diversions": (
+            eng.diversions().count() if eng.divert_t.exists() else 0
+        ),
+        "stop_status": eng.stop_status,
         "wall_sec": round(time.time() - t0, 1),
         "state": args.state,
     }
