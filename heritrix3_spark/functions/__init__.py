@@ -1,3 +1,10 @@
-from heritrix3_spark.functions import canonicalize, surt
+from heritrix3_spark.functions import (
+    canonicalize,
+    mime,
+    psl,
+    surt,
+    surtprefix,
+    uriutils,
+)
 
-__all__ = ["canonicalize", "surt"]
+__all__ = ["canonicalize", "mime", "psl", "surt", "surtprefix", "uriutils"]
