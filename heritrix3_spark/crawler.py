@@ -2486,7 +2486,10 @@ class CrawlEngine:
             # the round (the serial fetch-order law), then one O(delta)
             # merge-on-read upsert. Visibility is next round (macro-batch
             # law, same as form_auth promotion).
-            from heritrix3_spark.operators.cookies import set_cookie_parse_col
+            from heritrix3_spark.operators.cookies import (
+                MAX_COOKIES_FOR_DOMAIN,
+                set_cookie_parse_col,
+            )
 
             sc_src = fetched.filter(
                 (F.col("fetch_status") >= 200)
@@ -2496,27 +2499,89 @@ class CrawlEngine:
             ).select(
                 F.col("ordinal"),
                 F.substring_index(F.col("__server"), ":", 1).alias("__host"),
-                F.explode(
+                F.posexplode(
                     F.filter("spans", lambda s: s["kind"] == "set-cookie")
-                ).alias("__sc"),
+                ).alias("__pos", "__sc"),
             )
             parsed = sc_src.select(
                 "ordinal",
+                "__pos",
                 set_cookie_parse_col(
                     F.col("__sc.text"), F.col("__host"), self.clock // 1000
                 ).alias("c"),
             ).filter(F.col("c.key").isNotNull())
-            w_ck = Window.partitionBy("c.key").orderBy(F.col("ordinal").desc())
+            # Per-key VALUE winner is the last serial add (ordinal, then
+            # span position within the page); per-key cap CLAIM is the
+            # first serial add — the add that would have claimed the
+            # domain's slot in the reference's serial addCookie order
+            # (BdbCookieStore.java:288-304).
+            w_ck = Window.partitionBy("c.key").orderBy(
+                F.col("ordinal").desc(), F.col("__pos").desc()
+            )
             ck_new = (
                 parsed.withColumn("__r", F.row_number().over(w_ck))
+                .withColumn(
+                    "__claim",
+                    F.min(F.struct("ordinal", "__pos")).over(
+                        Window.partitionBy("c.key")
+                    ),
+                )
                 .filter(F.col("__r") == 1)
-                .select("c.*")
+                .select("c.*", "__claim")
             )
+            # 50-cookies/domain cap (BdbCookieStore.java:52,288-304): a
+            # NEW key on a domain already holding the cap is dropped;
+            # replacements of existing keys always apply. Admission runs
+            # in serial add order (__claim). The state table is never
+            # broadcast: it is semi-join-pruned to the round's bounded
+            # domain set, and only round-bounded sides are broadcast.
             if self.cookie_t.exists():
-                self.cookie_t.upsert(ck_new, seq=2 * self.round + 1)
+                doms = ck_new.select("domain").distinct()
+                existing = (
+                    self.cookie_t.read(self.spark)
+                    .join(F.broadcast(doms), "domain", "left_semi")
+                    .select("key", "domain")
+                )
+                ex_keys = existing.join(
+                    F.broadcast(ck_new.select("key")), "key", "left_semi"
+                ).withColumn("__ex", F.lit(True))
+                ex_counts = existing.groupBy("domain").agg(
+                    F.count(F.lit(1)).alias("__live")
+                )
+                flagged = ck_new.join(
+                    F.broadcast(ex_keys.select("key", "__ex")), "key", "left"
+                )
+                w_dom = Window.partitionBy("domain").orderBy(
+                    F.col("__claim.ordinal"), F.col("__claim.__pos")
+                )
+                admitted_new = (
+                    flagged.filter(F.col("__ex").isNull())
+                    .withColumn("__rk", F.row_number().over(w_dom))
+                    .join(F.broadcast(ex_counts), "domain", "left")
+                    .filter(
+                        F.col("__rk")
+                        <= MAX_COOKIES_FOR_DOMAIN
+                        - F.coalesce(F.col("__live"), F.lit(0))
+                    )
+                )
+                cols = [c for c in ck_new.columns if c != "__claim"]
+                ck_commit = (
+                    flagged.filter(F.col("__ex").isNotNull())
+                    .select(*cols)
+                    .unionByName(admitted_new.select(*cols))
+                )
+                self.cookie_t.upsert(ck_commit, seq=2 * self.round + 1)
                 self.cookie_t.maybe_compact(self.spark, every=self.COMPACT_EVERY)
             else:
-                self.cookie_t.overwrite(ck_new)
+                w_dom = Window.partitionBy("domain").orderBy(
+                    F.col("__claim.ordinal"), F.col("__claim.__pos")
+                )
+                first = (
+                    ck_new.withColumn("__rk", F.row_number().over(w_dom))
+                    .filter(F.col("__rk") <= MAX_COOKIES_FOR_DOMAIN)
+                    .drop("__rk", "__claim")
+                )
+                self.cookie_t.overwrite(first)
 
         # promoteCredentials (FetchHTTP.java:766-817): a 2xx whose creds
         # came from the URI promotes them to the server — every later

@@ -206,14 +206,19 @@ def server_key_col(uri: Column) -> Column:
     the key for robots-state and server-category quota lookups."""
     scheme = F.lower(F.regexp_extract(uri, r"^([^:/?#]+)://", 1))
     authority = F.regexp_extract(uri, r"^[^:/?#]+://(?:[^/?#@]*@)?([^/?#]*)", 1)
-    dns_name = F.when(
-        uri.startswith("dns:"), F.substring(uri, 5, 4096)
-    )
+    # dns: names carry the reference's validity filter (CrawlServer.java:
+    # 269-274: "[-_\\w\\.:]+" or the key is thrown away). Java \w is ASCII,
+    # and rlike compiles to Java regex, so Column and scalar twins agree
+    # byte-for-byte on hostile names.
+    dns_name = F.substring(uri, 5, 4096)
+    dns_key = F.when(dns_name.rlike(r"^[-_\w\.:]+$"), dns_name)
     https_no_port = (scheme == "https") & ~authority.rlike(r".+:[0-9]+$")
     keyed = F.when(https_no_port, F.concat(authority, F.lit(":443"))).otherwise(
         authority
     )
-    return F.coalesce(dns_name, keyed)
+    return F.when(uri.startswith("dns:"), dns_key).otherwise(
+        F.when(authority != "", keyed)
+    )
 
 
 def server_key(url: str) -> str | None:
@@ -221,7 +226,9 @@ def server_key(url: str) -> str | None:
     vector: https://www.example.com -> www.example.com:443)."""
     if url.startswith("dns:"):
         name = url[4:]
-        return name if re.fullmatch(r"[-_\w\.:]+", name) else None
+        # re.ASCII: Java's \w is [a-zA-Z0-9_] — keep the twins identical
+        # on unicode word characters too
+        return name if re.fullmatch(r"[-_\w\.:]+", name, re.ASCII) else None
     m = re.match(r"^([^:/?#]+)://(?:[^/?#@]*@)?([^/?#]*)", url)
     if not m or not m.group(2):
         return None

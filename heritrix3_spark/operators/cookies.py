@@ -111,9 +111,10 @@ class CookieStore:
         return True
 
     def put(self, cookie: Cookie) -> None:
-        """Cap-less replace-by-key — the crawl-engine table law (the
-        distributed store does not enforce the 50/domain cap; the cap is
-        an operator-facing AbstractCookieStore behavior)."""
+        """Cap-less replace-by-key (bootstrap/testing helper — the crawl
+        law is :meth:`add`, and since round 5 the engine's distributed
+        cookie table enforces the same 50/domain cap at its round-end
+        upsert, in serial add order)."""
         self._by_key[cookie.key()] = cookie
 
     def _domain_count(self, normalized_domain: str) -> int:

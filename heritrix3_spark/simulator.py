@@ -1037,10 +1037,12 @@ def simulate(
             queues[rk].retired = True
         auth_promoted |= round_promotions
         form_auth |= round_form_auth
-        # round-end Set-Cookie application: ordinal order, replace by key
-        # (engine: later-ordinal-wins window + merge-on-read upsert)
+        # round-end Set-Cookie application: serial add order (ordinal,
+        # then span position via the stable sort), replace by key, and
+        # the 50/domain cap on NEW keys (BdbCookieStore.java:52,288-304;
+        # engine: later-add-wins window + cap-gated merge-on-read upsert)
         for _ord, c in sorted(pending_cookies, key=lambda x: x[0]):
-            cookie_store.put(c)
+            cookie_store.add(c)
         if quotas or cfg.digest_history:
             for ordinal, server, ck2, status, content, size, row in sorted(
                 round_fetches, key=lambda r: r[0]

@@ -226,3 +226,97 @@ def test_cookie_crawl_parity(spark, tmp_path):
     # bootstrap cookies_txt granted the /vip zone from the start
     assert by["http://h.example/vip/page"] == 200
     assert by["http://h.example/login"] == 200
+
+
+def test_cookie_cap_crawl_parity(spark, tmp_path):
+    """The 50-cookies/domain cap holds in the ENGINE's distributed cookie
+    table (round-5 verdict #2; BdbCookieStore.java:52,288-304): a login
+    page sets 50 cookies then the zone cookie as the 51st — the 51st is
+    dropped in serial add order, so the zoned page stays 403 forever; a
+    later replacement of an existing key still applies, but a later NEW
+    key on the full domain is dropped. Exact engine-vs-simulator parity
+    plus a direct check of the engine's committed cookie-table keys."""
+    from heritrix3_spark.crawler import CrawlConfig, CrawlEngine
+    from heritrix3_spark.simulator import SimConfig, simulate
+
+    fill = [(f"c{i:02d}", f"v{i}") for i in range(MAX_COOKIES_FOR_DOMAIN)]
+    login_spans = [("text", "login", None, 0)] + [
+        ("set-cookie", f"{n}={v}; Path=/", None, i + 1)
+        for i, (n, v) in enumerate(fill)
+    ]
+    k = len(login_spans)
+    login_spans += [
+        # 51st NEW key in span order: dropped by the cap
+        ("set-cookie", "sess=ok; Path=/", None, k),
+        ("link", "p", "/private/two", k + 1),
+        ("link", "o", "/open/page", k + 2),
+        ("link", "m", "/more", k + 3),
+    ]
+    web = {
+        "http://h.example/a": [
+            ("text", "seed", None, 0),
+            ("link", "p", "/private/one", 1),
+            ("link", "l", "/login", 2),
+        ],
+        "http://h.example/login": login_spans,
+        "http://h.example/more": [
+            ("text", "more", None, 0),
+            # replacement of an existing key on the full domain: applies
+            ("set-cookie", "c00=changed; Path=/", None, 1),
+            # NEW key on the full domain in a later round: dropped
+            ("set-cookie", "late=x; Path=/", None, 2),
+        ],
+        "http://h.example/private/one": [("text", "s1", None, 0)],
+        "http://h.example/private/two": [("text", "s2", None, 0)],
+        "http://h.example/open/page": [("text", "open", None, 0)],
+    }
+    kw = dict(
+        cookies="obey",
+        cookie_zones=(
+            ("h.example", "/private", "sess"),
+            ("h.example", "/open", "c07"),
+        ),
+        k_per_host=1,
+    )
+    seeds = ["http://h.example/a"]
+    sim_log, sim_seen = simulate(web, seeds, SimConfig(**kw))
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "cookiecap"),
+        spark.createDataFrame(
+            list(web.items()),
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        ),
+        CrawlConfig(num_buckets=4, ordinal_partitions=1, bloom=False, **kw),
+    )
+    eng.bootstrap(seeds)
+    eng_log = eng.run(max_rounds=40)
+    srows = sorted(
+        (l["round"], l["class_key"], l["canonical"], l["ordinal"],
+         l["fetch_status"], l["disposition"])
+        for l in sim_log
+    )
+    erows = sorted(
+        (r.round, r.class_key, r.canonical, r.ordinal, r.fetch_status,
+         r.disposition)
+        for r in eng_log.collect()
+    )
+    assert erows == srows
+    assert {r.fp for r in eng.urlseen.seen(spark).collect()} == sim_seen
+    by = {r.canonical: r.fetch_status for r in eng_log.collect()}
+    # "sess" was the 51st add: both gated pages stay 403 forever
+    assert by["http://h.example/private/one"] == 403
+    assert by["http://h.example/private/two"] == 403
+    # "c07" was within the cap: its zone opens after the login round
+    assert by["http://h.example/open/page"] == 200
+    # the engine's committed table holds exactly the capped key set
+    rows = {
+        (r.key, r.value)
+        for r in eng.cookie_t.read(spark).select("key", "value").collect()
+    }
+    expect = {
+        (f"h.example;{n};/", v if n != "c00" else "changed")
+        for n, v in fill
+    }
+    assert rows == expect

@@ -333,6 +333,15 @@ def test_server_key_column_twin(spark):
         "http://b.example/x",
         "dns:c.example",
         "http://user:pw@d.example/q",
+        # hostile dns: names — the reference's "[-_\\w\\.:]+" validity
+        # filter (CrawlServer.java:269-274) throws the key away; the
+        # Column and scalar twins must agree (round-4 verdict nit #2)
+        "dns:evil host/with spaces",
+        "dns:bad;semi",
+        "dns:ok-name_0:53",
+        "dns:höst.example",  # unicode word char: Java \w says invalid
+        "mailto:",  # no authority at all -> None on both paths
+        "http:///path-only",
     ]
     df = spark.createDataFrame([(u,) for u in uris], ["uri"])
     got = [r[0] for r in df.select(server_key_col(F.col("uri"))).collect()]
