@@ -365,6 +365,26 @@ class CrawlConfig:
     mapper_map: tuple = ()  # lexical mode ((key, crawler), ...)
     mapper_check_uri: bool = True
     mapper_check_outlinks: bool = True
+    # Forms-discovery login machinery (modules/forms; operators/forms.py):
+    # "on" runs the ExtractorHTMLForms analog over spans of kind "form"
+    # (raw <form ...>...</form> markup — the A_FORM_OFFSETS region) on
+    # extraction-eligible pages, saving login-seeming forms (or all, with
+    # extract_all_forms) and adding the "form:P..." annotation. form_login
+    # = ((applicable_surt_prefix, username, password), ...) — the
+    # FormLoginProcessor sheets; the page's applicable entry is the
+    # LONGEST prefix of its SURT form (most-specific sheet overlay). The
+    # first login-seeming form in a *form province* (the prefix, or the
+    # page's pathless-root SURT) triggers ONE synthesized submission:
+    # the form ACTION as an 'S' SUBMIT hop, form/@action context, HIGH
+    # directive, forceFetch, A_SUBMIT_DATA riding the frontier data map
+    # (non-heritable — stripped at candidate inheritance except on the
+    # submit row itself). Later eligible forms annotate
+    # "nosubmit:<attempts>,<seen>,<province>". Province counts live in
+    # the merge-on-read `form_provinces` table (checkpointable state,
+    # FormLoginProcessor.java:298-315).
+    forms: str = "off"  # "off" | "on"
+    extract_all_forms: bool = False
+    form_login: tuple = ()
 
 
 class CrawlEngine:
@@ -462,6 +482,13 @@ class CrawlEngine:
         # (InSet mode) is swapped for this table + a broadcast semi-join
         # when the seed count exceeds cfg.seed_prefix_inset_max
         self.seed_prefix_t = self.catalog.table("seed_prefixes")
+        # FormLoginProcessor province counts (eligibleFormsSeenCount /
+        # eligibleFormsAttemptsCount, FormLoginProcessor.java:122-140):
+        # merge-on-read keyed by province — unbounded when the applicable
+        # prefix is blank (one province per site root), so O(delta) writes
+        self.form_prov_t = MergeOnReadTable(
+            self.catalog, "form_provinces", "province"
+        )
         self.overrides = fetch_status_overrides
         # driver-held scalars (checkpointed)
         self.round = 0
@@ -1013,6 +1040,195 @@ class CrawlEngine:
             )
             .drop("__pd_digest", "__via_canon")
         )
+
+    def _attach_forms(self, fetched: DataFrame):
+        """ExtractorHTMLForms + FormLoginProcessor (operators/forms.py;
+        modules/forms/ExtractorHTMLForms.java:142-171,
+        FormLoginProcessor.java:199-296). Parses the round's "form" spans
+        Arrow-batched on extraction-eligible pages, computes the "form:"
+        + submit/nosubmit annotations, synthesizes the once-per-province
+        'S'-hop submission candidates, and stashes the province-count
+        upsert for the round-end commit.
+
+        Returns ``(fetched', annotation_column, submits_df_or_None)``.
+        The province state table is never broadcast wholesale — it is
+        semi-join-pruned to the round's bounded province set; only
+        round-bounded sides are broadcast."""
+        cfg = self.cfg
+        from heritrix3_spark.functions.surt import surt_col
+        from heritrix3_spark.operators import forms as FORMS
+        from heritrix3_spark.operators.extract import resolve_ref_col
+
+        # ExtractorHTMLForms rides the extract chain: same eligibility as
+        # outlink extraction (A_FORM_OFFSETS only exists where
+        # ExtractorHTML ran — mime gate, trap suppression included)
+        page_ok = (F.col("fetch_status") >= 200) & (F.col("fetch_status") < 400)
+        if cfg.process_error_outlinks:
+            page_ok = page_ok | (
+                (F.col("fetch_status") >= 100)
+                & ~F.col("__no_fetch")
+                & ~F.col("__retry")
+            )
+        gate = page_ok & F.col("spans").isNotNull()
+        if cfg.trap_suppress:
+            gate = gate & ~F.coalesce(F.col("__trap"), F.lit(False))
+        if cfg.mime_extract_gate:
+            gate = gate & MIME.html_extract_gate_col(F.col("content_type"))
+        form_texts = F.when(
+            gate,
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == "form"),
+                lambda s: s["text"],
+            ),
+        )
+        # sheet selection: LONGEST applicable SURT prefix wins (the
+        # most-specific overlay; scalar twin forms.login_entry_for)
+        entries = sorted(cfg.form_login, key=lambda e: len(e[0]), reverse=True)
+        surt_form = surt_col(F.col("canonical"))
+        user = F.lit(None).cast("string")
+        pw = F.lit(None).cast("string")
+        pfx = F.lit(None).cast("string")
+        for prefix, u, p in reversed(entries):
+            hit = surt_form.startswith(prefix)
+            user = F.when(hit, F.lit(u)).otherwise(user)
+            pw = F.when(hit, F.lit(p)).otherwise(pw)
+            pfx = F.when(hit, F.lit(prefix)).otherwise(pfx)
+        base = (
+            fetched.withColumn(
+                "__forms",
+                FORMS.parse_forms_col(form_texts, user, pw, cfg.extract_all_forms),
+            )
+            .withColumn("__fl_user", user)
+            .withColumn("__fl_pfx", pfx)
+        )
+        form_ann = F.when(
+            F.size("__forms") > 0,
+            F.array_join(F.transform("__forms", lambda f: f["annotation"]), ","),
+        )
+        login_on = any(u for _p, u, _pw in cfg.form_login)
+        if not login_on:
+            self._round_form_prov = None
+            return base, form_ann, None
+
+        # FormLoginProcessor: eligible = non-blank username sheet applies
+        # (shouldProcess :200-202 + the prefix check :206) AND the page
+        # saved a login-seeming form (the loop's first, :219-237)
+        lform = F.try_element_at(
+            F.filter("__forms", lambda f: f["seems_login"]), F.lit(1)
+        )
+        root_uri = F.concat(
+            F.regexp_extract("canonical", r"^([^:/?#]+://[^/?#]*)", 1),
+            F.lit("/"),
+        )
+        province = F.when(
+            F.trim(F.col("__fl_pfx")) != "", F.col("__fl_pfx")
+        ).otherwise(surt_col(root_uri))
+        eligible = (
+            F.col("__fl_user").isNotNull()
+            & (F.col("__fl_user") != "")
+            & lform.isNotNull()
+        )
+        elig = base.filter(eligible).select(
+            "ordinal",
+            F.col("uri").alias("__page_uri"),
+            "canonical",
+            "hops_path",
+            "is_seed",
+            "data",
+            province.alias("province"),
+            lform.alias("__lf"),
+        )
+        if self.form_prov_t.exists():
+            provs = elig.select("province").distinct()
+            st = (
+                self.form_prov_t.read(self.spark)
+                .join(F.broadcast(provs), "province", "left_semi")
+                .select(
+                    "province",
+                    F.col("seen").alias("__b_seen"),
+                    F.col("attempts").alias("__b_att"),
+                )
+            )
+            j = elig.join(F.broadcast(st), "province", "left")
+        else:
+            j = elig.withColumn(
+                "__b_seen", F.lit(None).cast("long")
+            ).withColumn("__b_att", F.lit(None).cast("long"))
+        # in-round serial order: the reference's processor-global counters
+        # advance in fetch-processing order = ordinal order here
+        w = Window.partitionBy("province").orderBy("ordinal")
+        j = self._ckpt(
+            j.withColumn("__r", F.row_number().over(w))
+            .withColumn("__b_seen", F.coalesce("__b_seen", F.lit(0)))
+            .withColumn("__b_att", F.coalesce("__b_att", F.lit(0)))
+            .withColumn(
+                "__attempt", (F.col("__b_att") == 0) & (F.col("__r") == 1)
+            )
+        )
+        # submit:<action> on the attempt; nosubmit:<attempts>,<seen>,<prov>
+        # on later eligible forms (attempts is 1 by then — the attempt
+        # either pre-dates the round or fired at rank 1)
+        fl_ann = F.when(
+            F.col("__attempt"),
+            F.concat(
+                F.lit("submit:"),
+                F.coalesce(F.col("__lf.action"), F.lit("null")),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("nosubmit:1,"),
+                (F.col("__b_seen") + F.col("__r")).cast("string"),
+                F.lit(","),
+                F.col("province"),
+            )
+        )
+        ann_map = j.select("ordinal", fl_ann.alias("__fl_ann"))
+        out = base.join(F.broadcast(ann_map), "ordinal", "left")
+        raw_ann = F.concat_ws(",", form_ann, F.col("__fl_ann"))
+        ann_col = F.when(F.length(raw_ann) > 0, raw_ann)
+        # createFormSubmissionAttempt (:261-282): ACTION (or the page URI)
+        # as an 'S' SUBMIT hop, form/@action context, HIGH, forceFetch;
+        # A_SUBMIT_DATA/A_SUBMIT_ENCTYPE ride the data map (non-heritable)
+        empty_map = F.expr("map()").cast("map<string,string>")
+        stripped = F.map_filter(
+            F.coalesce(F.col("data"), empty_map),
+            lambda k, _v: (k != AUTH.AUTH_DATA_KEY)
+            & (k != FORMS.SUBMIT_DATA_KEY)
+            & (k != FORMS.SUBMIT_ENCTYPE_KEY),
+        )
+        submit_map = F.create_map(
+            F.lit(FORMS.SUBMIT_DATA_KEY), F.col("__lf.data_json")
+        )
+        enc_map = F.when(
+            F.col("__lf.enctype").isNotNull(),
+            F.create_map(
+                F.lit(FORMS.SUBMIT_ENCTYPE_KEY), F.col("__lf.enctype")
+            ),
+        ).otherwise(empty_map)
+        submit_uri = F.when(
+            F.col("__lf.action").isNull(), F.col("__page_uri")
+        ).otherwise(resolve_ref_col(F.col("canonical"), F.col("__lf.action")))
+        submits = j.filter("__attempt").select(
+            submit_uri.alias("uri"),
+            SC.extend_hops_path_col(F.col("hops_path"), F.lit("S")).alias(
+                "hops_path"
+            ),
+            F.col("__page_uri").alias("via"),
+            F.lit("form/@action").alias("via_context"),
+            F.lit(FR.HIGH).alias("sched_directive"),
+            F.col("is_seed").alias("parent_is_seed"),
+            F.col("ordinal").alias("parent_ordinal"),
+            F.lit(10**9).alias("outlink_index"),
+            F.map_concat(stripped, submit_map, enc_map).alias("data"),
+            F.lit(True).alias("force_hint"),
+        )
+        # province-count upsert (checkpointable state, :298-315): seen +=
+        # round eligibles; attempts is 1 once any eligible row existed
+        self._round_form_prov = j.groupBy("province").agg(
+            (F.first("__b_seen") + F.count(F.lit(1))).alias("seen"),
+            F.lit(1).cast("long").alias("attempts"),
+        )
+        return out, ann_col, submits
 
     def _bandwidth_advance(self, fetched: DataFrame) -> DataFrame:
         """(class_key, advance): the serial per-host clock with the
@@ -1919,7 +2135,16 @@ class CrawlEngine:
             if rt_block
             else F.lit(None).cast("string")
         )
-        joined_ann = F.concat_ws(",", rt_ann, map_ann, rev_ann, trap_ann)
+        # ExtractorHTMLForms + FormLoginProcessor (operators/forms.py):
+        # "form:" annotations, submit/nosubmit annotations, and the round's
+        # synthesized 'S'-hop submission candidates
+        forms_on = cfg.forms == "on"
+        form_submits = None
+        if forms_on:
+            fetched, form_ann, form_submits = self._attach_forms(fetched)
+        else:
+            form_ann = F.lit(None).cast("string")
+        joined_ann = F.concat_ws(",", rt_ann, map_ann, rev_ann, trap_ann, form_ann)
         annotation = F.when(F.length(joined_ann) > 0, joined_ann).otherwise(
             F.lit(None).cast("string")
         )
@@ -2089,6 +2314,11 @@ class CrawlEngine:
             cand = prereqs.unionByName(cand.withColumn("force_hint", F.lit(False)))
         else:
             cand = cand.withColumn("force_hint", F.lit(False))
+        if form_submits is not None:
+            # FormLoginProcessor submission CrawlURIs enter the candidate
+            # chain like any outCandidate (scope runs; forceFetch bypasses
+            # url-seen — via_context != "prereq" so no prereq dedup)
+            cand = cand.unionByName(form_submits)
         # seedsRedirectNewSeeds (CandidatesProcessor.java:186-194): a seed's
         # 'R'-hop discovery within 5 hops is itself a seed (pre-scope mark)
         promoted = (
@@ -2216,6 +2446,24 @@ class CrawlEngine:
             cand_data = F.when(
                 F.col("data").isNotNull(),
                 F.map_filter("data", lambda k, _v: k != AUTH.AUTH_DATA_KEY),
+            )
+        if forms_on:
+            # A_SUBMIT_DATA/A_SUBMIT_ENCTYPE are NOT heritable either —
+            # only the submit row itself (hop 'S') carries them; its
+            # children never inherit (the keys are URI-local state)
+            from heritrix3_spark.operators import forms as FORMS
+
+            cand_data = F.when(
+                F.substring(F.col("hops_path"), -1, 1) == "S", cand_data
+            ).otherwise(
+                F.when(
+                    cand_data.isNotNull(),
+                    F.map_filter(
+                        cand_data,
+                        lambda k, _v: (k != FORMS.SUBMIT_DATA_KEY)
+                        & (k != FORMS.SUBMIT_ENCTYPE_KEY),
+                    ),
+                )
             )
         novel_rows = self._ckpt(
             novel.select(
@@ -2582,6 +2830,21 @@ class CrawlEngine:
                     .drop("__rk", "__claim")
                 )
                 self.cookie_t.overwrite(first)
+
+        if forms_on and self._round_form_prov is not None:
+            # FormLoginProcessor province counts (checkpointable state,
+            # FormLoginProcessor.java:298-315): one O(delta) upsert of the
+            # round's touched provinces
+            if self.form_prov_t.exists():
+                self.form_prov_t.upsert(
+                    self._round_form_prov, seq=2 * self.round + 1
+                )
+                self.form_prov_t.maybe_compact(
+                    self.spark, every=self.COMPACT_EVERY
+                )
+            else:
+                self.form_prov_t.overwrite(self._round_form_prov)
+            self._round_form_prov = None
 
         # promoteCredentials (FetchHTTP.java:766-817): a 2xx whose creds
         # came from the URI promotes them to the server — every later
@@ -3082,6 +3345,8 @@ class CrawlEngine:
                 "diversions": self.divert_t.latest_version(),
                 "cookies": self.cookie_t.latest_version(),
                 "cookies__delta": self.cookie_t.delta.latest_version(),
+                "form_provinces": self.form_prov_t.latest_version(),
+                "form_provinces__delta": self.form_prov_t.delta.latest_version(),
             },
             state={
                 "round": self.round,

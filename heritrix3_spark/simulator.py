@@ -146,6 +146,12 @@ class SimConfig:
     mapper_map: tuple = ()
     mapper_check_uri: bool = True
     mapper_check_outlinks: bool = True
+    # Forms-discovery login machinery — laws shared with CrawlConfig.forms
+    # (operators/forms.py: ExtractorHTMLForms over "form" spans +
+    # FormLoginProcessor once-per-province 'S' SUBMIT hop)
+    forms: str = "off"
+    extract_all_forms: bool = False
+    form_login: tuple = ()
 
 
 @dataclass
@@ -246,10 +252,12 @@ def simulate(
     Returns (log, seen_fps): log rows are dicts with round/class_key/uri/
     canonical/ordinal/disposition/fetch_status/content_type/content_length.
     """
+    import json as _json
     import re as _re
 
     from heritrix3_spark.functions import mime as _mime
     from heritrix3_spark.operators import auth as _auth
+    from heritrix3_spark.operators import forms as _forms
 
     cfg = config or SimConfig()
     web_ct = web_ct or {}
@@ -350,8 +358,14 @@ def simulate(
         bag (CrawlURI.inheritFrom) — minus the attached-credential key
         (credentials are not heritable)."""
         nonlocal next_ordinal
-        if data and _auth.AUTH_DATA_KEY in data:
-            data = {k: v for k, v in data.items() if k != _auth.AUTH_DATA_KEY}
+        if data:
+            # credentials and submit payloads are NOT heritable: the
+            # attached-realm key never crosses; A_SUBMIT_DATA/ENCTYPE ride
+            # only the submit row itself (hop 'S')
+            drop = {_auth.AUTH_DATA_KEY}
+            if not hops_path.endswith("S"):
+                drop |= {_forms.SUBMIT_DATA_KEY, _forms.SUBMIT_ENCTYPE_KEY}
+            data = {k: v for k, v in data.items() if k not in drop}
         canonical = canonicalize(uri)
         fp = create_key(canonical)
         if fp in seen and not force:
@@ -421,6 +435,11 @@ def simulate(
     cookie_store = _CookieStore()
     if cfg.cookies == "obey" and cfg.cookies_txt:
         cookie_store.load_txt(cfg.cookies_txt)
+    # FormLoginProcessor province counters (eligibleFormsAttemptsCount /
+    # eligibleFormsSeenCount, FormLoginProcessor.java:122-140): live serial
+    # counters — the engine reproduces the intra-round ordering with a
+    # per-province ordinal window over round-start table state
+    form_provinces: dict[str, list] = {}  # province -> [attempts, seen]
 
     def _cookie_zone_for(server: str, path: str):
         for srv, pfx, cname in cfg.cookie_zones:
@@ -514,6 +533,7 @@ def simulate(
         round_taken = 0
         round_promotions: set = set()  # lands in auth_promoted at round end
         round_form_auth: set = set()  # login successes -> form_auth at round end
+        round_form_events: list = []  # (curi, row, saved HTMLForms)
         retire_marks: set[str] = set()
         candidates = []  # (parent_ordinal, outlink_index, url, hops, via)
         for ck in sorted(eligible):
@@ -960,6 +980,21 @@ def simulate(
                     spans_src = web.get(curi.canonical, [])
                     if cfg.mime_extract_gate and not _mime.html_extract_gate(ct):
                         spans_src = [s for s in spans_src if s[0] == "location"]
+                    if cfg.forms == "on":
+                        # ExtractorHTMLForms (ExtractorHTMLForms.java:142-169)
+                        # over "form" spans (the A_FORM_OFFSETS regions);
+                        # save login-seeming forms (or all). The processor
+                        # side runs at round end in ordinal order — engine
+                        # window parity.
+                        saved = []
+                        for k2, t2, r2, o2 in spans_src:
+                            if k2 != "form" or t2 is None:
+                                continue
+                            f = _forms.parse_form(t2)
+                            if f.seems_login_form() or cfg.extract_all_forms:
+                                saved.append(f)
+                        if saved:
+                            round_form_events.append((curi, row, saved))
                     for kind, text, ref, offset in spans_src:
                         if kind not in ("link", "img", "script", "css", "media", "location"):
                             continue
@@ -1043,6 +1078,60 @@ def simulate(
         # engine: later-add-wins window + cap-gated merge-on-read upsert)
         for _ord, c in sorted(pending_cookies, key=lambda x: x[0]):
             cookie_store.add(c)
+        # FormLoginProcessor (FormLoginProcessor.java:204-296) in serial
+        # fetch order (= ordinal order — the engine's per-province window):
+        # "form:" annotations for every saved form; when a non-blank-username
+        # sheet applies and the page saved a login-seeming form, seen += 1
+        # and the FIRST such page per province ever attempts — one 'S'
+        # SUBMIT hop candidate with HTTP_POST A_SUBMIT_DATA, HIGH,
+        # forceFetch; later eligible pages annotate nosubmit:<status>
+        for curi, row, saved in sorted(round_form_events, key=lambda e: e[0].ordinal):
+            anns = [f.as_annotation() for f in saved]
+            entry = _forms.login_entry_for(surt(curi.canonical), cfg.form_login)
+            lform = next((f for f in saved if f.seems_login_form()), None)
+            if entry is not None and lform is not None:
+                prefix, user, pw = entry
+                m_root = _re.match(r"^([^:/?#]+://[^/?#]*)", curi.canonical)
+                root_surt = surt(m_root.group(1) + "/") if m_root else ""
+                province = _forms.form_province(prefix, root_surt)
+                st = form_provinces.setdefault(province, [0, 0])
+                st[1] += 1  # eligibleFormsSeenCount BEFORE the attempt check
+                if st[0] < 1:
+                    st[0] += 1
+                    # createFormSubmissionAttempt (:261-282): ACTION (or the
+                    # page URI) as an 'S' hop, form/@action context, HIGH,
+                    # forceFetch; A_SUBMIT_DATA/ENCTYPE ride the data map
+                    submit_url = (
+                        _resolve(curi.canonical, lform.action)
+                        if lform.action is not None
+                        else curi.uri
+                    )
+                    data = dict(curi.data or {})
+                    data.pop(_forms.SUBMIT_DATA_KEY, None)
+                    data.pop(_forms.SUBMIT_ENCTYPE_KEY, None)
+                    data[_forms.SUBMIT_DATA_KEY] = _json.dumps(
+                        lform.form_data(user, pw)
+                    )
+                    if lform.enctype is not None:
+                        data[_forms.SUBMIT_ENCTYPE_KEY] = lform.enctype
+                    candidates.append(
+                        (
+                            curi.ordinal, 10**9, submit_url,
+                            _ehp(curi.hops_path, "S"), curi.uri, HIGH,
+                            curi.is_seed, True, data,
+                        )
+                    )
+                    anns.append(
+                        "submit:"
+                        + (lform.action if lform.action is not None else "null")
+                    )
+                else:
+                    anns.append(
+                        "nosubmit:" + _forms.submit_status(st[0], st[1], province)
+                    )
+            if anns:
+                prev = row.get("annotation")
+                row["annotation"] = ((prev + ",") if prev else "") + ",".join(anns)
         if quotas or cfg.digest_history:
             for ordinal, server, ck2, status, content, size, row in sorted(
                 round_fetches, key=lambda r: r[0]
@@ -1126,9 +1215,11 @@ def simulate(
                 and url != via
             )
             force = (promoted and via is not None) or collision or force_hint
-            if force_hint:
+            if force_hint and not hops.endswith("S"):
                 # expiry-forced prerequisite: first discovery this round
-                # wins (serial one-refetch-per-validity-window analog)
+                # wins (serial one-refetch-per-validity-window analog).
+                # Form-submit hops ('S') force WITHOUT the prereq dedup —
+                # the engine's is_forced_prereq checks via_context=="prereq"
                 if canonical in forced_prereqs_round:
                     continue
                 forced_prereqs_round.add(canonical)
