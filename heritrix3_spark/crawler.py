@@ -385,6 +385,14 @@ class CrawlConfig:
     forms: str = "off"  # "off" | "on"
     extract_all_forms: bool = False
     form_login: tuple = ()
+    # FetchFTP extraction laws (operators/ftp.py; FetchFTP.java): "on"
+    # extracts NLST listing children from ftp:// directory fetches (spans
+    # of kind "listing"; URLEncoder form-encoding, 'L' NAVLINK hops) and
+    # the parent URI from every completed ftp fetch; directory fetches
+    # type as text/plain, files as application/octet-stream
+    ftp: str = "off"  # "off" | "on"
+    ftp_extract_from_dirs: bool = True  # extract.from.dirs
+    ftp_extract_parent: bool = True  # extract.parent
 
 
 class CrawlEngine:
@@ -2041,6 +2049,14 @@ class CrawlEngine:
         # content-type model (CrawlURI.setContentType threading): NULL for
         # never-fetched / payload-less rows; "text/dns" for dns lookups;
         # else web-provided header analog -> extension -> text/html default
+        has_listing = (
+            F.coalesce(
+                F.exists("spans", lambda s: s["kind"] == "listing"),
+                F.lit(False),
+            )
+            if cfg.ftp == "on"
+            else None
+        )
         fetched = fetched.withColumn(
             "content_type",
             MIME.content_type_col(
@@ -2050,6 +2066,7 @@ class CrawlEngine:
                 & ~F.col("__no_fetch"),
                 F.col("__is_dns") & ~F.col("__no_fetch"),
                 web_ct=F.col("__web_ct") if web_has_ct else None,
+                is_ftp_dir=has_listing,
             ),
         ).withColumn("content_bytes", self._content_size_col())
         if web_has_ct:
@@ -2269,6 +2286,105 @@ class CrawlEngine:
                 F.col("parent_data").alias("data"),
             )
             cand = cand.unionByName(extra)
+        if cfg.ftp == "on":
+            # FetchFTP link laws (operators/ftp.py; FetchFTP.java:470-478):
+            # fetch-side, so neither the mime gate nor TrapSuppressExtractor
+            # applies, and the parent link fires on EVERY completed ftp
+            # fetch (even a failed RETR — the reference's addParent runs
+            # after the data-socket block unconditionally). Children of a
+            # 2xx directory = non-empty NLST lines, form-encoded
+            # (F.url_encode IS java.net.URLEncoder — the exact law).
+            from heritrix3_spark.operators.ftp import NAVLINK_MISC
+
+            is_ftp = F.col("canonical").startswith("ftp://")
+            real = (
+                (F.col("fetch_status") >= 100)
+                & ~F.col("__no_fetch")
+                & ~F.col("__retry")
+            )
+            listing_txt = F.array_join(
+                F.transform(
+                    F.filter("spans", lambda s: s["kind"] == "listing"),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            )
+            is_dir = (
+                F.coalesce(
+                    F.exists("spans", lambda s: s["kind"] == "listing"),
+                    F.lit(False),
+                )
+                & (F.col("fetch_status") >= 200)
+                & (F.col("fetch_status") < 300)
+            )
+            files = (
+                F.when(
+                    is_dir,
+                    F.filter(
+                        F.split(listing_txt, r"\r\n|\r|\n"),
+                        lambda ln: F.length(ln) > 0,
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+                if cfg.ftp_extract_from_dirs
+                else F.array().cast("array<string>")
+            )
+            ftp_pages = fetched.filter(is_ftp & real).select(
+                F.col("uri").alias("parent_uri"),
+                "canonical",
+                F.col("hops_path").alias("parent_hops"),
+                F.col("ordinal").alias("parent_ordinal"),
+                F.col("is_seed").alias("parent_is_seed"),
+                F.col("data").alias("parent_data"),
+                files.alias("__files"),
+            )
+            base = F.regexp_replace(F.col("canonical"), "/$", "")
+            children = ftp_pages.select(
+                "*", F.posexplode("__files").alias("pos", "__fname")
+            ).select(
+                F.concat(base, F.lit("/"), F.url_encode("__fname")).alias("uri"),
+                SC.extend_hops_path_col(F.col("parent_hops"), F.lit("L")).alias(
+                    "hops_path"
+                ),
+                F.col("parent_uri").alias("via"),
+                F.lit(NAVLINK_MISC).alias("via_context"),
+                F.lit(FR.NORMAL).alias("sched_directive"),
+                "parent_is_seed",
+                "parent_ordinal",
+                F.col("pos").alias("outlink_index"),
+                F.col("parent_data").alias("data"),
+            )
+            cand = cand.unionByName(children)
+            if cfg.ftp_extract_parent:
+                # currentHierPath law (ftp.parent_url scalar twin): path
+                # minus its last segment; root-level files parent at "/"
+                path = F.regexp_extract(
+                    "canonical", r"^[^:/?#]+://[^/?#]*([^?#]*)", 1
+                )
+                sa = F.regexp_extract("canonical", r"^([^:/?#]+://[^/?#]*)", 1)
+                cut = (
+                    F.length(path)
+                    - F.length(F.substring_index(path, "/", -1))
+                    - 1
+                )
+                ppath = F.when(cut <= 0, F.lit("/")).otherwise(
+                    F.substring(path, F.lit(1), cut)
+                )
+                parents = ftp_pages.filter(
+                    ~F.col("canonical").rlike(r"^[^:/?#]+://[^/?#]*(/)?([?#]|$)")
+                ).select(
+                    F.concat(sa, ppath).alias("uri"),
+                    SC.extend_hops_path_col(
+                        F.col("parent_hops"), F.lit("L")
+                    ).alias("hops_path"),
+                    F.col("parent_uri").alias("via"),
+                    F.lit(NAVLINK_MISC).alias("via_context"),
+                    F.lit(FR.NORMAL).alias("sched_directive"),
+                    "parent_is_seed",
+                    "parent_ordinal",
+                    F.size("__files").alias("outlink_index"),
+                    F.col("parent_data").alias("data"),
+                )
+                cand = cand.unionByName(parents)
         if cfg.robots == "obey" or cfg.dns == "obey" or form_on:
             # deferred triggers inject their prerequisite (dns:host,
             # /robots.txt, or the form-credential login URI): 'P' hop,

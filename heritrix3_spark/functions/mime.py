@@ -73,15 +73,25 @@ def content_type_col(
     has_payload: Column,
     is_dns: Column,
     web_ct: Column | None = None,
+    is_ftp_dir: Column | None = None,
 ) -> Column:
     """The synthetic fetch's Content-Type (see module docstring for the law).
-    NULL means the fetch produced no typed payload (404 / connect failure)."""
+    NULL means the fetch produced no typed payload (404 / connect failure).
+    ftp: directory listings type text/plain, files application/octet-stream
+    (FetchFTP.java:453-457) — pass ``is_ftp_dir`` when the FTP model is on."""
     path = F.regexp_extract(canonical, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
     derived = F.when(path == "/robots.txt", F.lit("text/plain")).otherwise(
         F.coalesce(ext_mime_col(canonical), F.lit("text/html"))
     )
     if web_ct is not None:
         derived = F.coalesce(web_ct, derived)
+    if is_ftp_dir is not None:
+        derived = F.when(
+            canonical.startswith("ftp://"),
+            F.when(is_ftp_dir, F.lit("text/plain")).otherwise(
+                F.lit("application/octet-stream")
+            ),
+        ).otherwise(derived)
     return (
         F.when(is_dns, F.lit("text/dns"))
         .when(has_payload, derived)
@@ -129,7 +139,11 @@ def ext_mime(canonical: str) -> str | None:
 
 
 def content_type(
-    canonical: str, has_payload: bool, is_dns: bool, web_ct: str | None = None
+    canonical: str,
+    has_payload: bool,
+    is_dns: bool,
+    web_ct: str | None = None,
+    is_ftp_dir: bool | None = None,
 ) -> str | None:
     """Scalar twin of :func:`content_type_col` (simulator parity law)."""
     import re
@@ -138,6 +152,8 @@ def content_type(
         return "text/dns"
     if not has_payload:
         return None
+    if is_ftp_dir is not None and canonical.startswith("ftp://"):
+        return "text/plain" if is_ftp_dir else "application/octet-stream"
     if web_ct is not None:
         return web_ct
     m = re.match(r"^[^:/?#]+://[^/?#]*([^?#]*)", canonical)

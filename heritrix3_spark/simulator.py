@@ -152,6 +152,10 @@ class SimConfig:
     forms: str = "off"
     extract_all_forms: bool = False
     form_login: tuple = ()
+    # FetchFTP extraction laws (operators/ftp.py twins)
+    ftp: str = "off"
+    ftp_extract_from_dirs: bool = True
+    ftp_extract_parent: bool = True
 
 
 @dataclass
@@ -258,6 +262,7 @@ def simulate(
     from heritrix3_spark.functions import mime as _mime
     from heritrix3_spark.operators import auth as _auth
     from heritrix3_spark.operators import forms as _forms
+    from heritrix3_spark.operators import ftp as _ftp
 
     cfg = config or SimConfig()
     web_ct = web_ct or {}
@@ -867,11 +872,20 @@ def simulate(
                         round_form_auth.add((fl[0], fl[2]))
                 # content-type model (CrawlURI.setContentType analog; law
                 # shared with the engine via functions/mime.py scalars)
+                is_ftp_dir = None
+                if cfg.ftp == "on" and scheme == "ftp":
+                    # FetchFTP.java:453-457: directory (has a listing) ->
+                    # text/plain, file -> application/octet-stream
+                    is_ftp_dir = any(
+                        k == "listing"
+                        for k, t, r, o in web.get(curi.canonical, [])
+                    )
                 ct = _mime.content_type(
                     curi.canonical,
                     has_payload=(curi.canonical in web and status >= 200),
                     is_dns=is_dns,
                     web_ct=web_ct.get(curi.canonical),
+                    is_ftp_dir=is_ftp_dir,
                 )
                 ct_size = (
                     sum(
@@ -1059,6 +1073,32 @@ def simulate(
                                 )
                             )
                             idx2 += 1
+                if cfg.ftp == "on" and scheme == "ftp":
+                    # FetchFTP link laws (FetchFTP.java:470-478): fetch-side
+                    # — no mime gate, no trap suppression, and the parent
+                    # link fires on EVERY completed ftp fetch (even a failed
+                    # RETR); listing children only from 2xx directories
+                    listing = None
+                    if 200 <= status < 300:
+                        lt = [
+                            t for k, t, r, o in web.get(curi.canonical, [])
+                            if k == "listing" and t is not None
+                        ]
+                        if lt:
+                            listing = "\n".join(lt)
+                    for i, url in enumerate(
+                        _ftp.ftp_extract(
+                            curi.canonical, listing,
+                            cfg.ftp_extract_from_dirs, cfg.ftp_extract_parent,
+                        )
+                    ):
+                        candidates.append(
+                            (
+                                curi.ordinal, i, url,
+                                _ehp(curi.hops_path, "L"), curi.uri, NORMAL,
+                                curi.is_seed, False, curi.data,
+                            )
+                        )
             q.pending.extend(requeue)
             # the last fetch's bandwidth floor carries into the next round
             q.wake_time = max(t_host, bw_next)
