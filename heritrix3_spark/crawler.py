@@ -393,6 +393,36 @@ class CrawlConfig:
     ftp: str = "off"  # "off" | "on"
     ftp_extract_from_dirs: bool = True  # extract.from.dirs
     ftp_extract_parent: bool = True  # extract.parent
+    # Contrib HostQuotaEnforcer (contrib/.../prefetch/HostQuotaEnforcer
+    # .java:1-135): ((host, apply_to_subdomains, ((fetchstats_key,
+    # limit), ...)), ...). Each matched URI checks ITS OWN host's
+    # substats (round-start state) against the entry's quotas; a binding
+    # key blocks with -5003 + "hostQuota:<key>". Supported FetchStats
+    # keys: fetchSuccesses fetchResponses successBytes totalBytes novel
+    # novelCount. Entries/keys evaluate in config order (the reference
+    # iterates a HashMap keySet — order unspecified there). dns: rows are
+    # exempt (chain position, like QuotaEnforcer). Runs AFTER the standard
+    # QuotaEnforcer; never forceRetires (ProcessResult.FINISH only).
+    host_quotas: tuple = ()
+    # AMQPUrlReceiver analog (contrib/.../frontier/AMQPUrlReceiver.java;
+    # operators/amqp.py): "on" enables CrawlEngine.receive_urls(bodies) —
+    # JSON messages parsed by the UrlConsumer law and unioned into the
+    # NEXT round's candidate chain (runCandidateChain analog), ordered
+    # before the round's own outlinks. 'I' hops get HIGH + uriPrecedence 1;
+    # message isSeed takes the checkForSeedPromotion path; every injected
+    # row is annotated receivedFromAMQP. amqp_force_fetch = the receiver's
+    # forceFetch property (OR'd with each message's own flag).
+    amqp: str = "off"  # "off" | "on"
+    amqp_force_fetch: bool = False
+    # Contrib SourceQuotaEnforcer (SourceQuotaEnforcer.java:1-111):
+    # ((source_tag, ((histotable_key, limit), ...)), ...) over the
+    # per-source CrawledBytesHistotable (StatisticsTracker.tallySourceStats
+    # — SUCCESS dispositions only; novel/dupByHash split by payload-digest
+    # revisit, notModified = 304). Blocks only once the source's stats
+    # exist (shouldProcess: getSourceStats != null). Annotation
+    # "sourceQuota:<key>". Host quotas win overlap (host-then-source
+    # chain order, documented).
+    source_quotas: tuple = ()
 
 
 class CrawlEngine:
@@ -497,6 +527,13 @@ class CrawlEngine:
         self.form_prov_t = MergeOnReadTable(
             self.catalog, "form_provinces", "province"
         )
+        # per-source CrawledBytesHistotable (SourceQuotaEnforcer): append
+        # + fold-compaction accumulator like quota_stats
+        self.source_t = self.catalog.table("source_stats")
+        # AMQPUrlReceiver buffer: parsed-but-not-yet-scheduled messages.
+        # Driver-held and NOT checkpointed — the reference's unacked AMQP
+        # deliveries live in the broker, not in crawler state.
+        self._amqp_pending: list[dict] = []
         self.overrides = fetch_status_overrides
         # driver-held scalars (checkpointed)
         self.round = 0
@@ -728,6 +765,30 @@ class CrawlEngine:
         "successes", "responses", "success_bytes", "all_bytes",
         "novel_bytes", "novel_urls",
     )
+    #: HostQuotaEnforcer quota keys = raw FetchStats keys (FetchStats.java:
+    #: 44-54) -> quota_stats column
+    _FETCHSTATS_KEYS = {
+        "fetchSuccesses": "successes",
+        "fetchResponses": "responses",
+        "successBytes": "success_bytes",
+        "totalBytes": "all_bytes",
+        "novel": "novel_bytes",
+        "novelCount": "novel_urls",
+    }
+    #: SourceQuotaEnforcer quota keys = CrawledBytesHistotable keys
+    #: (CrawledBytesHistotable.java:36-48) -> source_stats column
+    _HISTOTABLE_KEYS = {
+        "novel": "novel",
+        "novelCount": "novel_count",
+        "dupByHash": "dup_bytes",
+        "dupByHashCount": "dup_count",
+        "notModified": "nm_bytes",
+        "notModifiedCount": "nm_count",
+    }
+    _SOURCE_STAT_COLS = (
+        "novel", "novel_count", "dup_bytes", "dup_count", "nm_bytes",
+        "nm_count",
+    )
 
     @staticmethod
     def _content_size_col():
@@ -746,13 +807,11 @@ class CrawlEngine:
             ),
         ).otherwise(F.lit(0).cast("long"))
 
-    def _quota_blocked_col(self, emitted: DataFrame) -> DataFrame:
-        """Join round-start quota stats onto emitted rows and compute
-        ``__quota_blocked``. Stats tables are unbounded (one row per server/
-        host/queue ever seen) so — like robots/dns — they are pruned via a
-        semi-join on the round's own key set, never broadcast wholesale."""
-        quotas = dict(self.cfg.quotas)
-        emitted = (
+    @staticmethod
+    def _quota_key_cols(emitted: DataFrame) -> DataFrame:
+        """The three FetchStats category keys (QuotaEnforcer.getEndCondition
+        + the contrib enforcers' host law share them)."""
+        return (
             emitted.withColumn(
                 # server-category quota keys by CrawlServer.getServerKey
                 # (https carries ':443'; QuotaEnforcer.getEndCondition)
@@ -761,6 +820,14 @@ class CrawlEngine:
             .withColumn("__q_host", F.substring_index(F.col("__q_server"), ":", 1))
             .withColumn("__q_group", F.when(~F.col("__is_dns"), F.col("class_key")))
         )
+
+    def _quota_blocked_col(self, emitted: DataFrame) -> DataFrame:
+        """Join round-start quota stats onto emitted rows (carrying the
+        ``__q_*`` key columns) and compute ``__quota_blocked``. Stats
+        tables are unbounded (one row per server/host/queue ever seen) so
+        — like robots/dns — they are pruned via a semi-join on the round's
+        own key set, never broadcast wholesale."""
+        quotas = dict(self.cfg.quotas)
         blocked = F.lit(False)
         stats_exist = self.quota_t.exists()
         stats = self.quota_t.read(self.spark) if stats_exist else None
@@ -810,6 +877,121 @@ class CrawlEngine:
                     cat_blocked = F.lit(True)
             blocked = blocked | (F.col(key_col).isNotNull() & cat_blocked)
         return emitted.withColumn("__quota_blocked", blocked)
+
+    def _contrib_quota_cols(self, emitted: DataFrame) -> DataFrame:
+        """Contrib HostQuotaEnforcer / SourceQuotaEnforcer gate
+        (HostQuotaEnforcer.java:87-134, SourceQuotaEnforcer.java:84-110):
+        adds ``__cq_ann`` — "hostQuota:<key>" / "sourceQuota:<key>" for the
+        first binding (entry, key) in config order, NULL when no contrib
+        quota binds. Checks run against ROUND-START stats (the standing
+        quota law); state tables are semi-join-pruned to the round's
+        bounded key set, never broadcast wholesale."""
+        cfg = self.cfg
+        host_ann = F.lit(None).cast("string")
+        if cfg.host_quotas:
+            for _h, _s, pairs in cfg.host_quotas:
+                for k, _lim in pairs:
+                    if k not in self._FETCHSTATS_KEYS:
+                        raise ValueError(f"unsupported FetchStats key: {k}")
+            if self.quota_t.exists():
+                keys = emitted.select(F.col("__q_host").alias("__kk")).distinct()
+                st = (
+                    self.quota_t.read(self.spark)
+                    .filter(F.col("cat") == "host")
+                    .join(
+                        F.broadcast(keys), F.col("key") == F.col("__kk"),
+                        "left_semi",
+                    )
+                    .groupBy("key")
+                    .agg(*[F.sum(c).alias(c) for c in self._QUOTA_STAT_COLS])
+                    .select(
+                        F.col("key").alias("__hq_key"),
+                        *[
+                            F.col(c).alias(f"__hq_{c}")
+                            for c in self._QUOTA_STAT_COLS
+                        ],
+                    )
+                )
+                emitted = emitted.join(
+                    st, emitted["__q_host"] == st["__hq_key"], "left"
+                ).drop("__hq_key")
+            else:
+                for c in self._QUOTA_STAT_COLS:
+                    emitted = emitted.withColumn(
+                        f"__hq_{c}", F.lit(None).cast("long")
+                    )
+            # a missing stats row is an all-zero CrawlHost substats
+            # (Histotable.get -> 0): quota 0 binds from the first round
+            for host, subs, pairs in reversed(cfg.host_quotas):
+                match = F.col("__q_host") == host
+                if subs:
+                    # InternetDomainName ancestor walk == label-boundary
+                    # suffix (HostQuotaEnforcer.java:100-115)
+                    match = match | F.col("__q_host").endswith("." + host)
+                entry = F.lit(None).cast("string")
+                for k, lim in reversed(tuple(pairs)):
+                    actual = F.coalesce(
+                        F.col(f"__hq_{self._FETCHSTATS_KEYS[k]}"), F.lit(0)
+                    )
+                    entry = F.when(
+                        actual >= lim, F.lit("hostQuota:" + k)
+                    ).otherwise(entry)
+                # a matching entry with no binding key PROCEEDs — it must
+                # not mask a later processor's block
+                host_ann = F.when(match & entry.isNotNull(), entry).otherwise(
+                    host_ann
+                )
+        src_ann = F.lit(None).cast("string")
+        if cfg.source_quotas:
+            for _t, pairs in cfg.source_quotas:
+                for k, _lim in pairs:
+                    if k not in self._HISTOTABLE_KEYS:
+                        raise ValueError(f"unsupported histotable key: {k}")
+            tag = F.when(
+                ~F.col("__is_dns"),
+                F.try_element_at(F.col("data"), F.lit("source_tag")),
+            )
+            emitted = emitted.withColumn("__sq_tag", tag)
+            if self.source_t.exists():
+                keys = emitted.select(F.col("__sq_tag").alias("__kk")).distinct()
+                st = (
+                    self.source_t.read(self.spark)
+                    .join(
+                        F.broadcast(keys), F.col("key") == F.col("__kk"),
+                        "left_semi",
+                    )
+                    .groupBy("key")
+                    .agg(*[F.sum(c).alias(c) for c in self._SOURCE_STAT_COLS])
+                    .select(
+                        F.col("key").alias("__sq_key"),
+                        *[
+                            F.col(c).alias(f"__sq_{c}")
+                            for c in self._SOURCE_STAT_COLS
+                        ],
+                    )
+                )
+                emitted = emitted.join(
+                    st, emitted["__sq_tag"] == st["__sq_key"], "left"
+                )
+                # shouldProcess: only once the source's stats EXIST
+                # (getSourceStats != null, SourceQuotaEnforcer.java:85-89)
+                for t, pairs in reversed(cfg.source_quotas):
+                    entry = F.lit(None).cast("string")
+                    for k, lim in reversed(tuple(pairs)):
+                        actual = F.coalesce(
+                            F.col(f"__sq_{self._HISTOTABLE_KEYS[k]}"), F.lit(0)
+                        )
+                        entry = F.when(
+                            actual >= lim, F.lit("sourceQuota:" + k)
+                        ).otherwise(entry)
+                    src_ann = F.when(
+                        (F.col("__sq_tag") == t)
+                        & F.col("__sq_key").isNotNull()
+                        & entry.isNotNull(),
+                        entry,
+                    ).otherwise(src_ann)
+        # host-then-source chain order: host quotas win overlap
+        return emitted.withColumn("__cq_ann", F.coalesce(host_ann, src_ann))
 
     def _update_quota_stats(self, fetched: DataFrame) -> None:
         """Post-round FetchStats tally (FetchStats.java:66-106): success
@@ -886,6 +1068,51 @@ class CrawlEngine:
                 self.quota_t.overwrite(folded)
         else:
             self.quota_t.overwrite(deltas)
+        if self.cfg.source_quotas:
+            # per-source CrawledBytesHistotable accumulate (StatisticsTracker
+            # .tallySourceStats -> CrawledBytesHistotable.accumulate,
+            # CrawledBytesHistotable.java:55-68): SUCCESS dispositions only;
+            # notModified = 304 revisit, dupByHash = payload-digest revisit,
+            # else novel (otherDup profiles are not modeled). Reuses this
+            # round's digest/novelty columns — one extra keyed agg, no new
+            # digest pass.
+            tag = F.try_element_at(F.col("data"), F.lit("source_tag"))
+            nm = F.col("fetch_status") == 304
+            dup = ~nm & F.col("__digest").isNotNull() & ~novel
+            nv = ~nm & ~dup
+            src = (
+                base.filter(is_success & tag.isNotNull())
+                .groupBy(tag.alias("key"))
+                .agg(
+                    F.sum(F.when(nv, F.col("__size")).otherwise(0)).alias("novel"),
+                    F.sum(nv.cast("long")).alias("novel_count"),
+                    F.sum(F.when(dup, F.col("__size")).otherwise(0)).alias(
+                        "dup_bytes"
+                    ),
+                    F.sum(dup.cast("long")).alias("dup_count"),
+                    F.sum(F.when(nm, F.col("__size")).otherwise(0)).alias(
+                        "nm_bytes"
+                    ),
+                    F.sum(nm.cast("long")).alias("nm_count"),
+                )
+            )
+            if self.source_t.exists():
+                self.source_t.append(src)
+                chain = self.source_t._parents(self.source_t.latest_version())
+                if len(chain) >= self.COMPACT_EVERY:
+                    folded = (
+                        self.source_t.read(self.spark)
+                        .groupBy("key")
+                        .agg(
+                            *[
+                                F.sum(c).alias(c)
+                                for c in self._SOURCE_STAT_COLS
+                            ]
+                        )
+                    )
+                    self.source_t.overwrite(folded)
+            else:
+                self.source_t.overwrite(src)
         # every new digest is unseen BY CONSTRUCTION: ``novel`` requires
         # __dseen null, and the pruned seen_d semi-join above covers exactly
         # this round's digests — so no anti-join against the full
@@ -993,7 +1220,9 @@ class CrawlEngine:
             # pruned digest slice and a duplicate column would be ambiguous
             .drop("__dseen", "__first_in_round")
         )
-        if not self.cfg.quotas:
+        if not (
+            self.cfg.quotas or self.cfg.host_quotas or self.cfg.source_quotas
+        ):
             novel_digests = (
                 fetched.filter(
                     F.col("__digest").isNotNull() & ~F.col("__revisit")
@@ -1530,6 +1759,7 @@ class CrawlEngine:
         # (chain order: preselector -> preconditions -> quota -> fetchers,
         # profile-crawler-beans.cxml:321-328 + QuotaEnforcer placement) ------
         quotas_on = bool(cfg.quotas)
+        contrib_q_on = bool(cfg.host_quotas) or bool(cfg.source_quotas)
         auth_on = bool(cfg.auth_zones)
         form_on = bool(cfg.form_credentials)
         cookies_on = cfg.cookies == "obey"
@@ -1538,6 +1768,7 @@ class CrawlEngine:
             cfg.robots == "obey"
             or cfg.dns == "obey"
             or quotas_on
+            or contrib_q_on
             or auth_on
             or form_on
             or cookies_on
@@ -1716,15 +1947,25 @@ class CrawlEngine:
                 ).drop("__fa_hit")
             else:
                 emitted = emitted.withColumn("__form_needed", F.lit(False))
-            if quotas_on:
-                emitted = self._quota_blocked_col(emitted)
+            if quotas_on or contrib_q_on:
+                emitted = self._quota_key_cols(emitted)
             else:
                 emitted = (
-                    emitted.withColumn("__quota_blocked", F.lit(False))
-                    .withColumn("__q_server", F.lit(None).cast("string"))
+                    emitted.withColumn("__q_server", F.lit(None).cast("string"))
                     .withColumn("__q_host", F.lit(None).cast("string"))
                     .withColumn("__q_group", F.lit(None).cast("string"))
                 )
+            if quotas_on:
+                emitted = self._quota_blocked_col(emitted)
+            else:
+                emitted = emitted.withColumn("__quota_blocked", F.lit(False))
+            if contrib_q_on:
+                emitted = self._contrib_quota_cols(emitted)
+            else:
+                emitted = emitted.withColumn(
+                    "__cq_ann", F.lit(None).cast("string")
+                )
+            cq_blocked = F.col("__cq_ann").isNotNull()
             quota_status = F.lit(FR.S_BLOCKED_BY_QUOTA)
             emitted = (
                 emitted.withColumn(
@@ -1735,7 +1976,9 @@ class CrawlEngine:
                     F.when(F.col("__is_dns"), F.lit(None).cast("int"))
                     .when(~F.col("__dns_known"), F.lit(FR.S_DEFERRED))
                     .when(
-                        F.col("__is_robots") & F.col("__quota_blocked"), quota_status
+                        F.col("__is_robots")
+                        & (F.col("__quota_blocked") | cq_blocked),
+                        quota_status,
                     )
                     .when(F.col("__is_robots"), F.lit(None).cast("int"))
                     .when(~rb_known, F.lit(FR.S_DEFERRED))
@@ -1743,13 +1986,16 @@ class CrawlEngine:
                     # credentialPrecondition sits after robots, before the
                     # quota processor (PreconditionEnforcer chain position)
                     .when(F.col("__form_needed"), F.lit(FR.S_DEFERRED))
-                    .when(F.col("__quota_blocked"), quota_status)
+                    .when(F.col("__quota_blocked") | cq_blocked, quota_status)
                     .otherwise(F.lit(None).cast("int")),
                 )
                 .withColumn(
                     "__quota_retire",
+                    # contrib blocks never forceRetire (ProcessResult.FINISH
+                    # only); only the standard QuotaEnforcer retires
                     (F.col("__forced_status") == FR.S_BLOCKED_BY_QUOTA)
-                    & F.lit(cfg.force_retire),
+                    & F.lit(cfg.force_retire)
+                    & F.col("__quota_blocked"),
                 )
                 .withColumn(
                     "__defer_reason",
@@ -1926,6 +2172,7 @@ class CrawlEngine:
                 .withColumn("__q_server", F.lit(None).cast("string"))
                 .withColumn("__q_host", F.lit(None).cast("string"))
                 .withColumn("__q_group", F.lit(None).cast("string"))
+                .withColumn("__cq_ann", F.lit(None).cast("string"))
                 .withColumn("__defer_reason", F.lit(None).cast("string"))
                 .withColumn("__crawl_delay", F.lit(None).cast("double"))
             )
@@ -2156,12 +2403,37 @@ class CrawlEngine:
         # "form:" annotations, submit/nosubmit annotations, and the round's
         # synthesized 'S'-hop submission candidates
         forms_on = cfg.forms == "on"
+        amqp_on = cfg.amqp == "on"
         form_submits = None
         if forms_on:
             fetched, form_ann, form_submits = self._attach_forms(fetched)
         else:
             form_ann = F.lit(None).cast("string")
-        joined_ann = F.concat_ws(",", rt_ann, map_ann, rev_ann, trap_ann, form_ann)
+        # contrib quota annotation only when the contrib gate actually
+        # blocked this row (the standard QuotaEnforcer ran first: its block
+        # — retire or bare -5003 — suppresses the contrib FINISH)
+        cq_ann = F.when(
+            (F.col("__forced_status") == FR.S_BLOCKED_BY_QUOTA)
+            & ~F.col("__quota_blocked"),
+            F.col("__cq_ann"),
+        )
+        # receivedFromAMQP rides the injected row's data map and is the
+        # FIRST annotation (added at makeCrawlUri, before any fetch-time
+        # annotation — AMQPUrlReceiver.java:438)
+        if amqp_on:
+            from heritrix3_spark.operators import amqp as AMQP
+
+            amqp_ann = F.when(
+                F.try_element_at(
+                    F.col("data"), F.lit(AMQP.AMQP_KEY)
+                ).isNotNull(),
+                F.lit(AMQP.A_RECEIVED_FROM_AMQP),
+            )
+        else:
+            amqp_ann = F.lit(None).cast("string")
+        joined_ann = F.concat_ws(
+            ",", amqp_ann, rt_ann, map_ann, cq_ann, rev_ann, trap_ann, form_ann
+        )
         annotation = F.when(F.length(joined_ann) > 0, joined_ann).otherwise(
             F.lit(None).cast("string")
         )
@@ -2435,6 +2707,28 @@ class CrawlEngine:
             # chain like any outCandidate (scope runs; forceFetch bypasses
             # url-seen — via_context != "prereq" so no prereq dedup)
             cand = cand.unionByName(form_submits)
+        if amqp_on and self._amqp_pending:
+            # AMQPUrlReceiver injection (runCandidateChain analog): parsed
+            # messages enter THIS round's candidate chain, ordered before
+            # the round's own outlinks (parent_ordinal -1, message order)
+            from heritrix3_spark.operators import amqp as AMQP
+
+            inj = self.spark.createDataFrame(
+                [
+                    (
+                        m["uri"], m["hops_path"], m["via"], m["via_context"],
+                        m["sched_directive"], False, -1, i, m["data"],
+                        m["force"],
+                    )
+                    for i, m in enumerate(self._amqp_pending)
+                ],
+                "uri string, hops_path string, via string, via_context "
+                "string, sched_directive int, parent_is_seed boolean, "
+                "parent_ordinal long, outlink_index long, "
+                "data map<string,string>, force_hint boolean",
+            )
+            cand = cand.unionByName(inj)
+            self._amqp_pending = []
         # seedsRedirectNewSeeds (CandidatesProcessor.java:186-194): a seed's
         # 'R'-hop discovery within 5 hops is itself a seed (pre-scope mark)
         promoted = (
@@ -2443,6 +2737,14 @@ class CrawlEngine:
             & (F.substring(F.col("hops_path"), -1, 1) == "R")
             & (F.length(F.col("hops_path")) < 5)
         )
+        if amqp_on:
+            # message isSeed -> the checkForSeedPromotion path (forceFetch,
+            # MEDIUM-if-NORMAL, addSeed announce), AMQPUrlReceiver.java:436
+            from heritrix3_spark.operators import amqp as AMQP
+
+            promoted = promoted | F.try_element_at(
+                F.col("data"), F.lit(AMQP.SEED_KEY)
+            ).isNotNull()
         cand = cand.withColumn("is_seed", promoted).drop("parent_is_seed")
         surt_hit = None
         if self.prefix_join_mode:
@@ -2474,6 +2776,20 @@ class CrawlEngine:
         if self.prefix_join_mode:
             in_scope = in_scope.drop("__seed_prefix")
         prepared = self._prepare(in_scope)
+        if amqp_on:
+            # AMQP 'I'-hop rows carry uriPrecedence 1
+            # (AMQPUrlReceiver.java:430-433), overriding the cost policy
+            from heritrix3_spark.operators import amqp as AMQP
+
+            prepared = prepared.withColumn(
+                "precedence",
+                F.when(
+                    F.try_element_at(
+                        F.col("data"), F.lit(AMQP.PREC_KEY)
+                    ).isNotNull(),
+                    F.lit(1),
+                ).otherwise(F.col("precedence")),
+            )
         # checkForSeedPromotion (:270-278): discovered seeds get MEDIUM +
         # forceFetch (HER-1891); plus the redirect-canonical-collision
         # forceFetch law (FrontierPreparer.java:236-256)
@@ -2578,6 +2894,23 @@ class CrawlEngine:
                         cand_data,
                         lambda k, _v: (k != FORMS.SUBMIT_DATA_KEY)
                         & (k != FORMS.SUBMIT_ENCTYPE_KEY),
+                    ),
+                )
+            )
+        if amqp_on:
+            # the AMQP flags + customHttpRequestHeaders are URI-local
+            # (CrawlURI.getData is not heritable in the reference): only
+            # the injected row itself (context =INFERRED_MISC) keeps them
+            from heritrix3_spark.operators import amqp as AMQP
+
+            cand_data = F.when(
+                F.col("via_context") == AMQP.INFERRED_MISC, cand_data
+            ).otherwise(
+                F.when(
+                    cand_data.isNotNull(),
+                    F.map_filter(
+                        cand_data,
+                        lambda k, _v: ~k.isin(*AMQP.NON_HERITABLE_KEYS),
                     ),
                 )
             )
@@ -3113,7 +3446,7 @@ class CrawlEngine:
 
         timer.mark("host-write")
         # --- QuotaEnforcer stats accumulation (for next round's checks) ----
-        if quotas_on:
+        if quotas_on or contrib_q_on:
             self._update_quota_stats(fetched)
             timer.mark("quota-stats")
         # --- per-round metrics snapshot (CrawlStatSnapshot analog) ----------
@@ -3348,6 +3681,27 @@ class CrawlEngine:
             .withColumn("already_included", F.lit(seen_n).cast("long"))
         )
 
+    def receive_urls(self, bodies: list[str]) -> int:
+        """AMQPUrlReceiver.UrlConsumer analog: parse JSON message bodies
+        (AMQPUrlReceiver.java:339-441) and buffer the resulting candidates
+        for the NEXT round's candidate chain. Non-GET and malformed
+        messages are ignored (the reference logs and ACKs them). Returns
+        the number of accepted messages."""
+        if self.cfg.amqp != "on":
+            raise ValueError("receive_urls requires CrawlConfig(amqp='on')")
+        from heritrix3_spark.operators import amqp as AMQP
+
+        accepted = [
+            m
+            for m in (
+                AMQP.parse_message(b, self.cfg.amqp_force_fetch)
+                for b in bodies
+            )
+            if m is not None
+        ]
+        self._amqp_pending.extend(accepted)
+        return len(accepted)
+
     def export_pending_uris(self) -> DataFrame:
         """Full dump of the pending frontier
         (BdbMultipleWorkQueues.exportPendingUris analog, :568-587)."""
@@ -3463,6 +3817,7 @@ class CrawlEngine:
                 "cookies__delta": self.cookie_t.delta.latest_version(),
                 "form_provinces": self.form_prov_t.latest_version(),
                 "form_provinces__delta": self.form_prov_t.delta.latest_version(),
+                "source_stats": self.source_t.latest_version(),
             },
             state={
                 "round": self.round,

@@ -156,6 +156,12 @@ class SimConfig:
     ftp: str = "off"
     ftp_extract_from_dirs: bool = True
     ftp_extract_parent: bool = True
+    # contrib HostQuotaEnforcer / SourceQuotaEnforcer (CrawlConfig twins)
+    host_quotas: tuple = ()
+    source_quotas: tuple = ()
+    # AMQPUrlReceiver analog (CrawlConfig.amqp twins; operators/amqp.py)
+    amqp: str = "off"
+    amqp_force_fetch: bool = False
 
 
 @dataclass
@@ -246,6 +252,7 @@ def simulate(
     status_overrides: dict[str, int] | None = None,
     web_ct: dict[str, str] | None = None,
     diversions: list | None = None,
+    amqp_messages: dict[int, list[str]] | None = None,
 ):
     """Run the golden crawl.
 
@@ -262,6 +269,7 @@ def simulate(
     from heritrix3_spark.functions import mime as _mime
     from heritrix3_spark.operators import auth as _auth
     from heritrix3_spark.operators import forms as _forms
+    from heritrix3_spark.operators import amqp as _amqp
     from heritrix3_spark.operators import ftp as _ftp
 
     cfg = config or SimConfig()
@@ -357,7 +365,16 @@ def simulate(
         if prev is None or line < prev:
             divert_round[key] = line
 
-    def schedule(uri, hops_path, via, is_seed, directive, force=False, data=None):
+    def _amqp_ann(data, base=None):
+        """receivedFromAMQP is the FIRST annotation (added at makeCrawlUri,
+        before any fetch-time annotation — AMQPUrlReceiver.java:438)."""
+        tagged = cfg.amqp == "on" and data and _amqp.AMQP_KEY in data
+        if not tagged:
+            return base
+        return "receivedFromAMQP" + ("," + base if base else "")
+
+    def schedule(uri, hops_path, via, is_seed, directive, force=False,
+                 data=None, keep_amqp=False):
         """schedule->add (or addForce when ``force``): returns True when
         the URI entered the frontier. ``data`` is the inherited heritable
         bag (CrawlURI.inheritFrom) — minus the attached-credential key
@@ -366,10 +383,13 @@ def simulate(
         if data:
             # credentials and submit payloads are NOT heritable: the
             # attached-realm key never crosses; A_SUBMIT_DATA/ENCTYPE ride
-            # only the submit row itself (hop 'S')
+            # only the submit row itself (hop 'S'); the AMQP flags +
+            # customHttpRequestHeaders ride only the injected row itself
             drop = {_auth.AUTH_DATA_KEY}
             if not hops_path.endswith("S"):
                 drop |= {_forms.SUBMIT_DATA_KEY, _forms.SUBMIT_ENCTYPE_KEY}
+            if cfg.amqp == "on" and not keep_amqp:
+                drop |= set(_amqp.NON_HERITABLE_KEYS)
             data = {k: v for k, v in data.items() if k not in drop}
         canonical = canonicalize(uri)
         fp = create_key(canonical)
@@ -378,6 +398,9 @@ def simulate(
         seen.add(fp)
         ck = _class_key_of(canonical, hops_path, via)
         cost = _cost(uri, via)
+        prec = cost  # CostUriPrecedencePolicy
+        if cfg.amqp == "on" and data and _amqp.PREC_KEY in data:
+            prec = 1  # AMQP 'I'-hop uriPrecedence (AMQPUrlReceiver.java:432)
         s = SimURI(
             uri=uri,
             canonical=canonical,
@@ -386,7 +409,7 @@ def simulate(
             via=via,
             is_seed=is_seed,
             directive=directive,
-            precedence=cost,  # CostUriPrecedencePolicy
+            precedence=prec,
             cost=cost,
             ordinal=next_ordinal,
             data=dict(data) if data else None,
@@ -419,6 +442,22 @@ def simulate(
         "MaxNovelUrls": ("novel_urls", False),
     }
     quota_stats: dict[tuple[str, str], dict[str, int]] = {}
+    # contrib HostQuotaEnforcer / SourceQuotaEnforcer laws (engine twins:
+    # crawler._contrib_quota_cols): FetchStats keys -> quota_stats columns,
+    # CrawledBytesHistotable keys -> source_stats columns
+    _FETCHSTATS_KEYS = {
+        "fetchSuccesses": "successes", "fetchResponses": "responses",
+        "successBytes": "success_bytes", "totalBytes": "all_bytes",
+        "novel": "novel_bytes", "novelCount": "novel_urls",
+    }
+    _HISTOTABLE_KEYS = {
+        "novel": "novel", "novelCount": "novel_count",
+        "dupByHash": "dup_bytes", "dupByHashCount": "dup_count",
+        "notModified": "nm_bytes", "notModifiedCount": "nm_count",
+    }
+    source_stats: dict[str, dict[str, int]] = {}
+    # any quota family accumulates the round-end FetchStats tally
+    stats_on = bool(quotas) or bool(cfg.host_quotas) or bool(cfg.source_quotas)
     digests_seen: set = set()
     # server-promoted credentials (promoteCredentials): (server, realm)
     auth_promoted: set = set()
@@ -528,10 +567,11 @@ def simulate(
             return default
 
         # quota checks run against ROUND-START stats (engine parity law)
-        if quotas:
+        if stats_on:
             import copy as _copy
 
             quota_snapshot = _copy.deepcopy(quota_stats)
+            source_snapshot = _copy.deepcopy(source_stats)
         round_fetches = []  # (ordinal, server, class_key, status, content, size)
         pending_cookies: list = []  # (ordinal, Cookie) -> applied at round end
         round_log_start = len(log)
@@ -590,9 +630,10 @@ def simulate(
                              fetch_status=-5004, disposition="fail",
                              source_tag=(curi.data or {}).get("source_tag"),
                              content_type=None, content_length=0,
-                             annotation=(
+                             annotation=_amqp_ann(
+                                 curi.data,
                                  f"Runtime exceeded "
-                                 f"{cfg.runtime_limit_s * 1000}ms"
+                                 f"{cfg.runtime_limit_s * 1000}ms",
                              ))
                     )
                     continue
@@ -610,7 +651,7 @@ def simulate(
                                  fetch_status=-5002, disposition="disregard",
                                  source_tag=(curi.data or {}).get("source_tag"),
                                  content_type=None, content_length=0,
-                                 annotation=f"to:{tgt}")
+                                 annotation=_amqp_ann(curi.data, f"to:{tgt}"))
                         )
                         continue
 
@@ -694,7 +735,8 @@ def simulate(
                              canonical=curi.canonical, ordinal=curi.ordinal,
                              fetch_status=-50, disposition=disposition,
                              source_tag=(curi.data or {}).get("source_tag"),
-                             content_type=None, content_length=0)
+                             content_type=None, content_length=0,
+                             annotation=_amqp_ann(curi.data))
                     )
                     continue
                 if forced == -9998:
@@ -705,7 +747,8 @@ def simulate(
                              canonical=curi.canonical, ordinal=curi.ordinal,
                              fetch_status=-9998, disposition="disregard",
                              source_tag=(curi.data or {}).get("source_tag"),
-                             content_type=None, content_length=0)
+                             content_type=None, content_length=0,
+                             annotation=_amqp_ann(curi.data))
                     )
                     continue
                 # QuotaEnforcer gate (after preconditions, before fetch —
@@ -726,8 +769,60 @@ def simulate(
                                      ordinal=curi.ordinal,
                                      fetch_status=-5003, disposition="fail",
                                      source_tag=(curi.data or {}).get("source_tag"),
-                                     content_type=None, content_length=0)
+                                     content_type=None, content_length=0,
+                                     annotation=_amqp_ann(curi.data))
                             )
+                        continue
+                # contrib HostQuotaEnforcer / SourceQuotaEnforcer (run after
+                # the standard QuotaEnforcer; host-then-source order; never
+                # forceRetire — a block disposes as a -5003 fail with the
+                # hostQuota:/sourceQuota: annotation; dns rows exempt)
+                if (
+                    (cfg.host_quotas or cfg.source_quotas)
+                    and forced is None
+                    and not is_dns
+                ):
+                    cq_ann = None
+                    hq_host = skey.split(":")[0]
+                    for hostq, subs, pairs in cfg.host_quotas:
+                        if not (
+                            hq_host == hostq
+                            or (subs and hq_host.endswith("." + hostq))
+                        ):
+                            continue
+                        st = quota_snapshot.get(("host", hq_host))
+                        for k, lim in pairs:
+                            col = _FETCHSTATS_KEYS[k]
+                            if (st[col] if st else 0) >= lim:
+                                cq_ann = "hostQuota:" + k
+                                break
+                        if cq_ann:
+                            break
+                    if cq_ann is None and cfg.source_quotas:
+                        tag_q = (curi.data or {}).get("source_tag")
+                        # shouldProcess: only once the source's stats exist
+                        if tag_q is not None and tag_q in source_snapshot:
+                            for tq, pairs in cfg.source_quotas:
+                                if tq != tag_q:
+                                    continue
+                                for k, lim in pairs:
+                                    col = _HISTOTABLE_KEYS[k]
+                                    if source_snapshot[tag_q].get(col, 0) >= lim:
+                                        cq_ann = "sourceQuota:" + k
+                                        break
+                                if cq_ann:
+                                    break
+                    if cq_ann is not None:
+                        q.total_expenditure += curi.cost + cfg.error_penalty
+                        log.append(
+                            dict(round=rnd, class_key=ck, uri=curi.uri,
+                                 canonical=curi.canonical,
+                                 ordinal=curi.ordinal,
+                                 fetch_status=-5003, disposition="fail",
+                                 source_tag=(curi.data or {}).get("source_tag"),
+                                 content_type=None, content_length=0,
+                                 annotation=_amqp_ann(curi.data, cq_ann))
+                        )
                         continue
                 if is_dns:
                     status = 1  # S_DNS_SUCCESS (synthetic resolution)
@@ -812,7 +907,8 @@ def simulate(
                                  False,
                                  web_ct.get(curi.canonical),
                              ),
-                             content_length=0)
+                             content_length=0,
+                             annotation=_amqp_ann(curi.data))
                     )
                     if cfg.robots == "obey" and is_robots and server is not None:
                         # non-2xx robots -> NO_ROBOTS allow-all (engine
@@ -906,6 +1002,7 @@ def simulate(
                     source_tag=(curi.data or {}).get("source_tag"),
                     content_type=ct,
                     content_length=ct_size,
+                    annotation=_amqp_ann(curi.data),
                 )
                 log.append(row)
                 if (
@@ -923,7 +1020,7 @@ def simulate(
                             )
                             if c is not None:
                                 pending_cookies.append((curi.ordinal, c))
-                if (quotas or cfg.digest_history) and not is_dns:
+                if (stats_on or cfg.digest_history) and not is_dns:
                     content = (
                         tuple(web[curi.canonical])
                         if 200 <= status < 300 and curi.canonical in web
@@ -981,7 +1078,10 @@ def simulate(
                         and archived.get(canonicalize(curi.via)) == content_here
                     ):
                         trap = True
-                        row["annotation"] = "trapSuppressExtractor"
+                        prev_t = row.get("annotation")
+                        row["annotation"] = (
+                            (prev_t + ",") if prev_t else ""
+                        ) + "trapSuppressExtractor"
                     if content_here is not None:
                         archived[curi.canonical] = content_here
                 extract_ok = 200 <= status < 400 or (
@@ -1172,7 +1272,7 @@ def simulate(
             if anns:
                 prev = row.get("annotation")
                 row["annotation"] = ((prev + ",") if prev else "") + ",".join(anns)
-        if quotas or cfg.digest_history:
+        if stats_on or cfg.digest_history:
             for ordinal, server, ck2, status, content, size, row in sorted(
                 round_fetches, key=lambda r: r[0]
             ):
@@ -1190,10 +1290,41 @@ def simulate(
                 # with an actual payload -> "duplicate:digest")
                 if cfg.digest_history and content is not None and size > 0 and not novel:
                     prev = row.get("annotation")
-                    row["annotation"] = "duplicate:digest" + (
-                        "," + prev if prev else ""
-                    )
-                if not quotas:
+                    if prev and prev.startswith("receivedFromAMQP"):
+                        row["annotation"] = (
+                            "receivedFromAMQP,duplicate:digest"
+                            + prev[len("receivedFromAMQP"):]
+                        )
+                    else:
+                        row["annotation"] = "duplicate:digest" + (
+                            "," + prev if prev else ""
+                        )
+                if cfg.source_quotas and is_succ:
+                    # per-source CrawledBytesHistotable accumulate
+                    # (CrawledBytesHistotable.java:55-68, successes only):
+                    # notModified=304 first, then dupByHash, else novel
+                    tag_s = row.get("source_tag")
+                    if tag_s is not None:
+                        nm_s = status == 304
+                        dup_s = (
+                            not nm_s and content is not None and size > 0
+                            and not novel
+                        )
+                        sst = source_stats.setdefault(
+                            tag_s,
+                            dict(novel=0, novel_count=0, dup_bytes=0,
+                                 dup_count=0, nm_bytes=0, nm_count=0),
+                        )
+                        if nm_s:
+                            sst["nm_bytes"] += size
+                            sst["nm_count"] += 1
+                        elif dup_s:
+                            sst["dup_bytes"] += size
+                            sst["dup_count"] += 1
+                        else:
+                            sst["novel"] += size
+                            sst["novel_count"] += 1
+                if not (quotas or cfg.host_quotas):
                     continue
                 for cat, key in (
                     ("server", server),
@@ -1213,6 +1344,19 @@ def simulate(
                     if novel:
                         st["novel_bytes"] += size
                         st["novel_urls"] += 1
+        # AMQPUrlReceiver injection (runCandidateChain analog): messages
+        # delivered at round rnd enter this round's candidate phase,
+        # ordered before every discovered outlink (parent_ordinal -1,
+        # message order) — engine parity with receive_urls + run_round
+        if cfg.amqp == "on" and amqp_messages:
+            for i, body in enumerate(amqp_messages.get(rnd, ())):
+                m = _amqp.parse_message(body, cfg.amqp_force_fetch)
+                if m is None:
+                    continue
+                candidates.append(
+                    (-1, i, m["uri"], m["hops_path"], m["via"],
+                     m["sched_directive"], False, m["force"], m["data"])
+                )
         # candidate processing in discovery order (prereqs sort first: -1)
         candidates.sort(key=lambda c: (c[0], c[1]))
         pending_prefixes: list[str] = []
@@ -1228,6 +1372,14 @@ def simulate(
                 and hops.endswith("R")
                 and len(hops) < 5
             )
+            if (
+                cfg.amqp == "on"
+                and parent_data
+                and _amqp.SEED_KEY in parent_data
+            ):
+                # message isSeed -> checkForSeedPromotion path (forceFetch,
+                # MEDIUM-if-NORMAL, addSeed announce)
+                promoted = True
             in_scope = _scope_ok(url, hops, prefixes, cfg.max_hops)
             if cfg.seed_accept and promoted:
                 in_scope = True  # SeedAcceptDecideRule (late position)
@@ -1264,7 +1416,8 @@ def simulate(
                     continue
                 forced_prereqs_round.add(canonical)
             scheduled = schedule(
-                url, hops, via, promoted, directive, force=force, data=parent_data
+                url, hops, via, promoted, directive, force=force,
+                data=parent_data, keep_amqp=parent_ord < 0,
             )
             if scheduled and promoted:
                 s = surt(canonical)
