@@ -414,6 +414,19 @@ class CrawlConfig:
     # forceFetch property (OR'd with each message's own flag).
     amqp: str = "off"  # "off" | "on"
     amqp_force_fetch: bool = False
+    # FetchWhois (modules/fetcher/FetchWhois.java; operators/whois.py):
+    # "on" adds the whois fetcher to the chain — every completed non-whois
+    # fetch discovers 1-2 serverless whois: 'I'-hop outlinks (host IP +
+    # topmost-assigned domain, fetch-chain position so they precede every
+    # content link); serverless whois rows walk the referral-server
+    # knowledge (deferOrFinishGeneric) via prerequisite whois://server/q
+    # fetches whose responses feed the referral table. State lives in two
+    # MergeOnReadTables (whois_referrals key->server, whois_progress
+    # url->IN_PROGRESS/DONE), read at round start, pruned by the round's
+    # bounded key set. whois_templates overrides the per-server special
+    # query templates (() -> the reference defaults).
+    whois: str = "off"  # "off" | "on"
+    whois_templates: tuple = ()
     # Contrib SourceQuotaEnforcer (SourceQuotaEnforcer.java:1-111):
     # ((source_tag, ((histotable_key, limit), ...)), ...) over the
     # per-source CrawledBytesHistotable (StatisticsTracker.tallySourceStats
@@ -530,6 +543,15 @@ class CrawlEngine:
         # per-source CrawledBytesHistotable (SourceQuotaEnforcer): append
         # + fold-compaction accumulator like quota_stats
         self.source_t = self.catalog.table("source_stats")
+        # FetchWhois knowledge (referralServers + urlProgress,
+        # FetchWhois.java:150-152). Progress keys are the RAW uri strings
+        # as built/scheduled (urlProgress.put(curi.toString()) :377)
+        self.whois_ref_t = MergeOnReadTable(
+            self.catalog, "whois_referrals", "key"
+        )
+        self.whois_prog_t = MergeOnReadTable(
+            self.catalog, "whois_progress", "url"
+        )
         # AMQPUrlReceiver buffer: parsed-but-not-yet-scheduled messages.
         # Driver-held and NOT checkpointed — the reference's unacked AMQP
         # deliveries live in the broker, not in crawler state.
@@ -793,11 +815,17 @@ class CrawlEngine:
     @staticmethod
     def _content_size_col():
         """Synthetic contentSize: total text+media_ref chars of the spans
-        payload (2xx with payload only)."""
+        payload (2xx with payload — plus the 2001 whois success, whose
+        recorder size is the response body, FetchWhois.java:369)."""
         return F.when(
             F.col("spans").isNotNull()
-            & (F.col("fetch_status") >= 200)
-            & (F.col("fetch_status") < 300),
+            & (
+                (
+                    (F.col("fetch_status") >= 200)
+                    & (F.col("fetch_status") < 300)
+                )
+                | (F.col("fetch_status") == 2001)
+            ),
             F.aggregate(
                 "spans",
                 F.lit(0).cast("long"),
@@ -1764,6 +1792,7 @@ class CrawlEngine:
         form_on = bool(cfg.form_credentials)
         cookies_on = cfg.cookies == "obey"
         cookie_zoned = cookies_on and bool(cfg.cookie_zones)
+        whois_on = cfg.whois == "on"
         need_gate = (
             cfg.robots == "obey"
             or cfg.dns == "obey"
@@ -1772,6 +1801,7 @@ class CrawlEngine:
             or auth_on
             or form_on
             or cookies_on
+            or whois_on
         )
         if need_gate:
             emitted = emitted.withColumn(
@@ -1794,6 +1824,13 @@ class CrawlEngine:
                 # prerequisite URIs and keys dns-by-hostname state.
                 "__server_key",
                 server_key_col(F.col("canonical")),
+            ).withColumn(
+                # whois URIs are exempt from the dns precondition
+                # (PreconditionEnforcer.java:279-281) and robots only
+                # gates http/https (:172) — computed whether or not the
+                # whois fetcher is configured, like the reference
+                "__is_whois",
+                F.col("canonical").startswith("whois:"),
             )
             # The dns/robots state tables are unbounded (one row per server
             # ever seen — 10^6-10^8 at web scale, robots bodies <=500KB
@@ -1902,6 +1939,173 @@ class CrawlEngine:
                 rb_known, allowed = F.lit(True), F.lit(True)
                 crawl_delay = F.lit(None).cast("double")
                 emitted = emitted.withColumn("__rb_stale", F.lit(False))
+            if whois_on:
+                # FetchWhois serverless resolution (deferOrFinishGeneric,
+                # FetchWhois.java:257-304) on round-start state. Both
+                # knowledge tables are unbounded (one row per domain/
+                # suffix/url ever walked) so — like robots/dns — they are
+                # pruned via broadcast semi-joins on the round's bounded
+                # key sets, never broadcast wholesale.
+                from heritrix3_spark.operators import whois as WH
+
+                wtpl = cfg.whois_templates or None
+                wdecode = getattr(F, "try_url_decode", F.url_decode)
+                wauth = F.regexp_extract(
+                    "canonical", r"^whois://([^/?#]*)", 1
+                )
+                emitted = emitted.withColumn(
+                    "__whois_serverful",
+                    F.col("__is_whois")
+                    & F.col("canonical").startswith("whois://")
+                    & (wauth != ""),
+                ).withColumn(
+                    # the wire query, form-decoded (getWhoisQuery :382-396)
+                    "__whois_q",
+                    F.when(
+                        F.col("__whois_serverful"),
+                        wdecode(
+                            F.regexp_extract(
+                                "canonical", r"^whois://[^/?#]*/(.*)$", 1
+                            )
+                        ),
+                    ).when(
+                        F.col("__is_whois")
+                        & ~F.col("canonical").startswith("whois://"),
+                        wdecode(F.substring(F.col("canonical"), 7, 1 << 20)),
+                    ),
+                )
+                sl = F.col("__is_whois") & ~F.col("__whois_serverful")
+                wq = F.col("__whois_q")
+                wsfx = F.lower(F.substring_index(wq, ".", -1))
+                # referral lookups: full key + ultra suffix (:259-264)
+                if self.whois_ref_t.exists():
+                    wkeys = (
+                        emitted.filter(sl)
+                        .select(F.explode(F.array(wq, wsfx)).alias("__wk"))
+                        .distinct()
+                    )
+                    wr = self.whois_ref_t.read(self.spark).join(
+                        F.broadcast(wkeys),
+                        F.col("key") == F.col("__wk"),
+                        "left_semi",
+                    )
+                    full = wr.select(
+                        F.col("key").alias("__wrf_k"),
+                        F.col("server").alias("__w_ref_full"),
+                    )
+                    sfx = wr.select(
+                        F.col("key").alias("__wrs_k"),
+                        F.col("server").alias("__w_ref_sfx"),
+                    )
+                    emitted = (
+                        emitted.join(full, wq == F.col("__wrf_k"), "left")
+                        .drop("__wrf_k")
+                        .join(sfx, wsfx == F.col("__wrs_k"), "left")
+                        .drop("__wrs_k")
+                    )
+                else:
+                    emitted = emitted.withColumn(
+                        "__w_ref_full", F.lit(None).cast("string")
+                    ).withColumn("__w_ref_sfx", F.lit(None).cast("string"))
+                iana_url = WH.make_whois_url_col(
+                    F.lit(WH.ULTRA_SUFFIX_WHOIS_SERVER), wsfx, wtpl
+                )
+                arin_url = WH.make_whois_url_col(
+                    F.lit(WH.DEFAULT_IP_WHOIS_SERVER), wq, wtpl
+                )
+                sfx_url = WH.make_whois_url_col(F.col("__w_ref_sfx"), wq, wtpl)
+                # the full-key branch is a raw concat — no template, no
+                # encoding (:259-260)
+                full_url = F.concat(
+                    F.lit("whois://"), F.col("__w_ref_full"), F.lit("/"), wq
+                )
+                emitted = emitted.withColumn(
+                    "__w_iana_url", F.when(sl, iana_url)
+                )
+                prog_exists = self.whois_prog_t.exists()
+                if prog_exists:
+                    purls = (
+                        emitted.filter(sl)
+                        .select(
+                            F.explode(
+                                F.array(
+                                    full_url, arin_url, sfx_url,
+                                    F.col("__w_iana_url"),
+                                )
+                            ).alias("__wu")
+                        )
+                        .filter(F.col("__wu").isNotNull())
+                        .distinct()
+                    )
+                    wp = self.whois_prog_t.read(self.spark).join(
+                        F.broadcast(purls),
+                        F.col("url") == F.col("__wu"),
+                        "left_semi",
+                    )
+                    p_iana = wp.select(
+                        F.col("url").alias("__wpi_k"),
+                        F.col("status").alias("__w_prog_iana"),
+                    )
+                    emitted = emitted.join(
+                        p_iana, F.col("__w_iana_url") == F.col("__wpi_k"), "left"
+                    ).drop("__wpi_k")
+                else:
+                    emitted = emitted.withColumn(
+                        "__w_prog_iana", F.lit(None).cast("int")
+                    )
+                emitted = emitted.withColumn(
+                    "__whois_try",
+                    F.when(~sl, F.lit(None).cast("string"))
+                    .when(F.col("__w_ref_full").isNotNull(), full_url)
+                    .when(wq.rlike("^" + WH.IP_ADDRESS_REGEX + "$"), arin_url)
+                    .when(F.col("__w_ref_sfx").isNotNull(), sfx_url)
+                    .when(F.col("__w_prog_iana").isNull(), F.col("__w_iana_url")),
+                )
+                if prog_exists:
+                    p_try = wp.select(
+                        F.col("url").alias("__wpt_k"),
+                        F.col("status").alias("__w_prog_try"),
+                    )
+                    emitted = emitted.join(
+                        p_try, F.col("__whois_try") == F.col("__wpt_k"), "left"
+                    ).drop("__wpt_k")
+                else:
+                    emitted = emitted.withColumn(
+                        "__w_prog_try", F.lit(None).cast("int")
+                    )
+                emitted = emitted.withColumn(
+                    "__whois_defer",
+                    F.when(
+                        sl
+                        & F.col("__whois_try").isNotNull()
+                        & F.col("__w_prog_try").isNull(),
+                        F.lit("mark"),
+                    ).when(
+                        sl
+                        & F.col("__whois_try").isNotNull()
+                        & (F.col("__w_prog_try") == WH.IN_PROGRESS),
+                        F.lit("wait"),
+                    ),
+                ).withColumn(
+                    # terminal serverless statuses: no route -> -62; the
+                    # walk's tryThis DONE -> 2002 (:266-268, :294-295)
+                    "__whois_term",
+                    F.when(
+                        sl & F.col("__whois_try").isNull(),
+                        F.lit(FR.S_OTHER_PREREQUISITE_FAILURE),
+                    ).when(
+                        sl & (F.col("__w_prog_try") == WH.DONE),
+                        F.lit(WH.S_WHOIS_GENERIC_FINISHED),
+                    ),
+                )
+            else:
+                emitted = (
+                    emitted.withColumn("__whois_serverful", F.lit(False))
+                    .withColumn("__whois_q", F.lit(None).cast("string"))
+                    .withColumn("__whois_try", F.lit(None).cast("string"))
+                    .withColumn("__whois_defer", F.lit(None).cast("string"))
+                    .withColumn("__whois_term", F.lit(None).cast("int"))
+                )
             if form_on:
                 # credentialPrecondition (PreconditionEnforcer.java:379-439):
                 # a guarded row defers behind its login-URI prerequisite
@@ -1970,10 +2174,20 @@ class CrawlEngine:
             emitted = (
                 emitted.withColumn(
                     "__forced_status",
-                    # the dns: prerequisite itself always proceeds; then DNS
-                    # gate; the robots.txt prerequisite passes once DNS known
-                    # then hits the quota gate; then robots gate; then quota
+                    # the dns: prerequisite itself always proceeds; whois
+                    # rows resolve in the whois branch (exempt from every
+                    # later gate — PreconditionEnforcer.java:172,279-281);
+                    # then the DNS gate; the robots.txt prerequisite passes
+                    # once DNS known then hits the quota gate; then the
+                    # robots gate; then quota
                     F.when(F.col("__is_dns"), F.lit(None).cast("int"))
+                    .when(
+                        F.col("__is_whois") & F.col("__whois_defer").isNotNull()
+                        if whois_on
+                        else F.lit(False),
+                        F.lit(FR.S_DEFERRED),
+                    )
+                    .when(F.col("__is_whois"), F.lit(None).cast("int"))
                     .when(~F.col("__dns_known"), F.lit(FR.S_DEFERRED))
                     .when(
                         F.col("__is_robots")
@@ -2000,6 +2214,20 @@ class CrawlEngine:
                 .withColumn(
                     "__defer_reason",
                     F.when(
+                        F.col("__is_whois")
+                        & (F.col("__whois_defer") == "mark")
+                        if whois_on
+                        else F.lit(False),
+                        F.lit("whois"),
+                    ).when(
+                        F.col("__is_whois")
+                        & (F.col("__whois_defer") == "wait")
+                        if whois_on
+                        else F.lit(False),
+                        F.lit("whois_wait"),
+                    ).when(
+                        F.col("__is_whois"), F.lit(None).cast("string")
+                    ).when(
                         ~F.col("__is_dns") & ~F.col("__dns_known"), F.lit("dns")
                     ).when(
                         ~F.col("__is_dns") & ~F.col("__is_robots") & ~rb_known,
@@ -2224,6 +2452,18 @@ class CrawlEngine:
         web = self.web.select(*web_cols)
         fetched = emitted.join(web, emitted["canonical"] == web["doc_id"], "left")
         status = F.when(F.col("doc_id").isNotNull(), F.lit(200)).otherwise(F.lit(404))
+        if whois_on:
+            from heritrix3_spark.operators import whois as WH
+
+            # server-ful whois fetch: recorded response -> 2001 text/plain
+            # (FetchWhois.java:357-358), none -> connect failure (-2,
+            # retryable :359-366). Overrides still win (the coalesce below).
+            status = F.when(
+                F.col("__whois_serverful"),
+                F.when(
+                    F.col("doc_id").isNotNull(), F.lit(WH.S_WHOIS_SUCCESS)
+                ).otherwise(F.lit(FR.S_CONNECT_FAILED)),
+            ).otherwise(status)
         if self.overrides is not None:
             ov = self.overrides.select(
                 F.col("canonical").alias("__ov_canon"), F.col("status").alias("__ov_status")
@@ -2234,10 +2474,10 @@ class CrawlEngine:
             # cookie-zone gate: a zoned row whose request-cookie set lacks
             # the zone cookie answers 403 (the synthetic server's session
             # check). Applied before the auth law so a 401 wins overlap.
-            status = F.when(
-                F.col("__ck_zone").isNotNull() & ~F.col("__cookie_ok"),
-                F.lit(403),
-            ).otherwise(status)
+            ck_gate = F.col("__ck_zone").isNotNull() & ~F.col("__cookie_ok")
+            if whois_on:
+                ck_gate = ck_gate & ~F.col("__is_whois")
+            status = F.when(ck_gate, F.lit(403)).otherwise(status)
         if auth_on:
             # 401 law (FetchHTTPRequest.populateTargetCredential +
             # handle401): a zone-protected fetch answers 401 unless creds
@@ -2272,17 +2512,24 @@ class CrawlEngine:
                 "__auth_ok",
                 attached_ok | F.col("__promoted_ok") | intra_ok,
             )
-            status = F.when(
+            auth_gate = (
                 F.col("__zone_realm").isNotNull()
                 & ~F.col("__is_dns")
-                & ~F.col("__auth_ok"),
-                F.lit(AUTH.HTTP_UNAUTHORIZED),
+                & ~F.col("__auth_ok")
+            )
+            if whois_on:
+                auth_gate = auth_gate & ~F.col("__is_whois")
+            status = F.when(
+                auth_gate, F.lit(AUTH.HTTP_UNAUTHORIZED)
             ).otherwise(status)
         # deferred / robots-precluded URIs never reach the fetcher; dns:
         # lookups resolve synthetically (S_DNS_SUCCESS, FetchStatusCodes:113)
+        # whois serverless terminals (-62/2002) never fetch at all, so they
+        # beat the web join AND the overrides (no network happened)
         status = F.coalesce(
             F.col("__forced_status"),
             F.when(F.col("__is_dns"), F.lit(FR.S_DNS_SUCCESS)),
+            F.col("__whois_term") if whois_on else F.lit(None).cast("int"),
             status,
         )
         fetched = (
@@ -2304,18 +2551,26 @@ class CrawlEngine:
             if cfg.ftp == "on"
             else None
         )
-        fetched = fetched.withColumn(
-            "content_type",
-            MIME.content_type_col(
-                F.col("canonical"),
-                F.col("doc_id").isNotNull()
-                & (F.col("fetch_status") >= 200)
-                & ~F.col("__no_fetch"),
-                F.col("__is_dns") & ~F.col("__no_fetch"),
-                web_ct=F.col("__web_ct") if web_has_ct else None,
-                is_ftp_dir=has_listing,
-            ),
-        ).withColumn("content_bytes", self._content_size_col())
+        ct_col = MIME.content_type_col(
+            F.col("canonical"),
+            F.col("doc_id").isNotNull()
+            & (F.col("fetch_status") >= 200)
+            & ~F.col("__no_fetch"),
+            F.col("__is_dns") & ~F.col("__no_fetch"),
+            web_ct=F.col("__web_ct") if web_has_ct else None,
+            is_ftp_dir=has_listing,
+        )
+        if whois_on:
+            from heritrix3_spark.operators import whois as WH
+
+            # fetch() sets text/plain on a whois success (FetchWhois:357)
+            ct_col = F.when(
+                F.col("fetch_status") == WH.S_WHOIS_SUCCESS,
+                F.lit("text/plain"),
+            ).otherwise(ct_col)
+        fetched = fetched.withColumn("content_type", ct_col).withColumn(
+            "content_bytes", self._content_size_col()
+        )
         if web_has_ct:
             fetched = fetched.drop("__web_ct")
 
@@ -2657,7 +2912,74 @@ class CrawlEngine:
                     F.col("parent_data").alias("data"),
                 )
                 cand = cand.unionByName(parents)
-        if cfg.robots == "obey" or cfg.dns == "obey" or form_on:
+        if whois_on:
+            # addWhoisLinks (FetchWhois.java:437-460): fetch-chain position
+            # (fetchWhois sits between fetchDns and fetchHttp in the
+            # profile), so the 0-2 'I' links precede every content link
+            # (negative outlink indices) and fire for ANY completed fetch —
+            # even a 404's chain pass added them before FetchHTTP ran.
+            # Retry passes (401 re-attach) extract nothing, like spans.
+            from heritrix3_spark.functions import psl as PSL
+            from heritrix3_spark.functions.surt import synthetic_ip_col
+            from heritrix3_spark.operators import whois as WH
+
+            w_real = (
+                (F.col("fetch_status") >= 100)
+                & ~F.col("__no_fetch")
+                & ~F.col("__retry")
+                & ~F.col("__is_dns")
+                & ~F.col("__is_whois")
+                & (F.col("__server") != "")
+            )
+            w_host = F.substring_index(F.col("__server"), ":", 1)
+            w_lit = w_host.rlike("^" + WH.IP_ADDRESS_REGEX + "$")
+            # CrawlHost.getIP(): IPv4 literals resolve at construction
+            # (CrawlHost.java:97-99); otherwise the IP exists exactly when
+            # dns ran (the precondition guarantees it for fetch-chain rows)
+            w_ip = F.when(w_lit, w_host).when(
+                F.lit(cfg.dns == "obey"), synthetic_ip_col(w_host)
+            )
+            w_targets = F.filter(
+                F.array(
+                    F.when(
+                        w_ip.isNotNull(), F.concat(F.lit("whois:"), w_ip)
+                    ),
+                    F.when(
+                        WH.is_valid_domain_col(w_host),
+                        F.concat(
+                            F.lit("whois:"),
+                            PSL.assignment_level_domain_col(w_host),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+            wcand = (
+                fetched.filter(w_real)
+                .select(
+                    F.col("uri").alias("parent_uri"),
+                    F.col("hops_path").alias("parent_hops"),
+                    F.col("ordinal").alias("parent_ordinal"),
+                    F.col("is_seed").alias("parent_is_seed"),
+                    F.col("data").alias("parent_data"),
+                    F.posexplode(w_targets).alias("pos", "__wuri"),
+                )
+                .select(
+                    F.col("__wuri").alias("uri"),
+                    SC.extend_hops_path_col(
+                        F.col("parent_hops"), F.lit("I")
+                    ).alias("hops_path"),
+                    F.col("parent_uri").alias("via"),
+                    F.lit(WH.INFERRED_MISC).alias("via_context"),
+                    F.lit(FR.NORMAL).alias("sched_directive"),
+                    "parent_is_seed",
+                    "parent_ordinal",
+                    (F.col("pos") - 3).alias("outlink_index"),
+                    F.col("parent_data").alias("data"),
+                )
+            )
+            cand = cand.unionByName(wcand)
+        if cfg.robots == "obey" or cfg.dns == "obey" or form_on or whois_on:
             # deferred triggers inject their prerequisite (dns:host,
             # /robots.txt, or the form-credential login URI): 'P' hop,
             # HIGHEST directive, rides the trigger's queue
@@ -2687,7 +3009,18 @@ class CrawlEngine:
                 prereq_uri = F.when(
                     F.col("__defer_reason") == "form", login_uri
                 ).otherwise(prereq_uri)
-            prereqs = fetched.filter(F.col("fetch_status") == FR.S_DEFERRED).select(
+            if whois_on:
+                # markPrerequisite(tryThis) — FetchWhois.java:287-289; the
+                # "wait" re-defer (:296-299) injects NO prerequisite
+                prereq_uri = F.when(
+                    F.col("__defer_reason") == "whois", F.col("__whois_try")
+                ).otherwise(prereq_uri)
+            prereq_rows = F.col("fetch_status") == FR.S_DEFERRED
+            if whois_on:
+                prereq_rows = prereq_rows & F.coalesce(
+                    F.col("__defer_reason") != "whois_wait", F.lit(True)
+                )
+            prereqs = fetched.filter(prereq_rows).select(
                 prereq_uri.alias("uri"),
                 SC.extend_hops_path_col(F.col("hops_path"), F.lit("P")).alias("hops_path"),
                 F.col("canonical").alias("via"),
@@ -3174,6 +3507,96 @@ class CrawlEngine:
                 self.robots_t.maybe_compact(self.spark, every=self.COMPACT_EVERY)
             else:
                 self.robots_t.overwrite(rb_new)
+
+        if whois_on:
+            # FetchWhois knowledge updates (fetch :342-377): every
+            # server-ful whois fetch marks DONE (the finally — even a
+            # connect failure); 2001 responses scan each line for
+            # WHOIS_SERVER_REGEX and record the LAST match under the
+            # token-stripped lowercased query. IN_PROGRESS marks come from
+            # this round's markPrerequisite rows and never overwrite an
+            # existing entry (DONE wins any serial interleave). All O(delta).
+            from heritrix3_spark.operators import whois as WH
+
+            w_fetched = fetched.filter(
+                F.col("__whois_serverful") & ~F.col("__no_fetch")
+            )
+            w_done = w_fetched.select(F.col("uri").alias("url")).distinct()
+            w_marks = (
+                fetched.filter(F.col("__defer_reason") == "whois")
+                .select(F.col("__whois_try").alias("url"))
+                .distinct()
+                .join(w_done, "url", "left_anti")
+            )
+            if self.whois_prog_t.exists():
+                # anti-join against EXISTING keys: prune the table down to
+                # the round's bounded mark set first (broadcast the marks,
+                # never the table), then drop already-present marks
+                pruned = self.whois_prog_t.read(self.spark).join(
+                    F.broadcast(w_marks),
+                    on="url",
+                    how="left_semi",
+                )
+                w_marks = w_marks.join(pruned, "url", "left_anti")
+            w_prog_new = w_done.withColumn(
+                "status", F.lit(WH.DONE)
+            ).unionByName(
+                w_marks.withColumn("status", F.lit(WH.IN_PROGRESS))
+            )
+            if self.whois_prog_t.exists():
+                self.whois_prog_t.upsert(w_prog_new, seq=2 * self.round + 1)
+                self.whois_prog_t.maybe_compact(
+                    self.spark, every=self.COMPACT_EVERY
+                )
+            else:
+                self.whois_prog_t.overwrite(w_prog_new)
+            w_body = F.array_join(
+                F.transform(
+                    F.filter("spans", lambda s: s["kind"] == "text"),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            )
+            w_lines = F.split(w_body, r"\r\n|\r|\n")
+            w_hits = F.filter(
+                w_lines, lambda ln: ln.rlike(WH.WHOIS_SERVER_REGEX)
+            )
+            w_refs = (
+                w_fetched.filter(
+                    (F.col("fetch_status") == WH.S_WHOIS_SUCCESS)
+                    & F.col("spans").isNotNull()
+                )
+                .select(
+                    F.lower(
+                        F.regexp_replace(
+                            F.col("__whois_q"), r"(\S+\s+)+", ""
+                        )
+                    ).alias("key"),
+                    F.lower(
+                        F.regexp_extract(
+                            # try_: a response with no referral line has an
+                            # empty hits array -> NULL, filtered below
+                            F.coalesce(
+                                F.try_element_at(w_hits, F.lit(-1)),
+                                F.lit(""),
+                            ),
+                            WH.WHOIS_SERVER_REGEX,
+                            1,
+                        )
+                    ).alias("server"),
+                    F.col("ordinal"),
+                )
+                .filter(F.col("server") != "")
+                .groupBy("key")
+                .agg(F.max_by("server", "ordinal").alias("server"))
+            )
+            if self.whois_ref_t.exists():
+                self.whois_ref_t.upsert(w_refs, seq=2 * self.round + 1)
+                self.whois_ref_t.maybe_compact(
+                    self.spark, every=self.COMPACT_EVERY
+                )
+            else:
+                self.whois_ref_t.overwrite(w_refs)
 
         if cookies_on:
             # Set-Cookie application (AbstractCookieStore.addCookie at
@@ -3818,6 +4241,10 @@ class CrawlEngine:
                 "form_provinces": self.form_prov_t.latest_version(),
                 "form_provinces__delta": self.form_prov_t.delta.latest_version(),
                 "source_stats": self.source_t.latest_version(),
+                "whois_referrals": self.whois_ref_t.latest_version(),
+                "whois_referrals__delta": self.whois_ref_t.delta.latest_version(),
+                "whois_progress": self.whois_prog_t.latest_version(),
+                "whois_progress__delta": self.whois_prog_t.delta.latest_version(),
             },
             state={
                 "round": self.round,

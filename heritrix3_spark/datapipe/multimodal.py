@@ -120,6 +120,63 @@ def _decode_pnm(b: bytes) -> tuple[int, int] | None:
     return (toks[0], toks[1]) if len(toks) == 2 else None
 
 
+def _decode_png(b: bytes) -> tuple[int, int] | None:
+    """PNG dimensions from the IHDR chunk (pure header read, no codec):
+    8-byte signature, 4-byte length, b"IHDR", then width/height as
+    big-endian u32 (PNG spec §11.2.2 — public format knowledge)."""
+    if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    return (
+        int.from_bytes(b[16:20], "big"),
+        int.from_bytes(b[20:24], "big"),
+    )
+
+
+def _decode_gif(b: bytes) -> tuple[int, int] | None:
+    """GIF87a/89a logical-screen dimensions: little-endian u16 pair at
+    offset 6 (GIF spec §18)."""
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    return (
+        int.from_bytes(b[6:8], "little"),
+        int.from_bytes(b[8:10], "little"),
+    )
+
+
+def _decode_jpeg(b: bytes) -> tuple[int, int] | None:
+    """JPEG dimensions from the first SOFn frame header (marker walk —
+    header-only, no entropy decode): segments are 0xFF <marker> <len16>;
+    SOFn (C0-CF minus C4/C8/CC) carries precision(1) height(2) width(2)
+    (ITU T.81 §B.2.2)."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return (w, h)
+        i += 2 + seg_len
+    return None
+
+
 def _decode_wav(b: bytes) -> int | None:
     """PCM WAV via the stdlib ``wave`` module: duration in ms."""
     import io
@@ -137,11 +194,12 @@ def _decode_wav(b: bytes) -> int | None:
 
 def decode_media(df: DataFrame, strict: bool = True) -> DataFrame:
     """Decode stage over the mapInPandas batch shape: payloads the stdlib
-    can parse (BMP, P5/P6 PNM, PCM WAV) get their width/height/duration_ms
-    REPLACED by values read from the actual bytes. Anything else is the
-    codec integration point: ``strict=True`` raises NotImplementedError
-    (plug PIL/ffmpeg there); ``strict=False`` passes rows through with
-    their metadata untouched."""
+    can parse (BMP, P5/P6 PNM, PNG/GIF/JPEG headers, PCM WAV) get their
+    width/height/duration_ms REPLACED by values read from the actual
+    bytes. Anything else is the codec integration point: ``strict=True``
+    raises NotImplementedError (plug PIL/ffmpeg there — full pixel decode,
+    mp4/webm); ``strict=False`` passes rows through with their metadata
+    untouched."""
 
     def run(pdf_iter):
         for pdf in pdf_iter:
@@ -150,7 +208,13 @@ def decode_media(df: DataFrame, strict: bool = True) -> DataFrame:
                 pdf["payload"], pdf["width"], pdf["height"], pdf["duration_ms"]
             ):
                 b = bytes(payload) if payload is not None else b""
-                dims = _decode_bmp(b) or _decode_pnm(b)
+                dims = (
+                    _decode_bmp(b)
+                    or _decode_pnm(b)
+                    or _decode_png(b)
+                    or _decode_gif(b)
+                    or _decode_jpeg(b)
+                )
                 if dims is not None:
                     widths.append(dims[0])
                     heights.append(dims[1])
@@ -164,8 +228,8 @@ def decode_media(df: DataFrame, strict: bool = True) -> DataFrame:
                     continue
                 if strict:
                     raise NotImplementedError(
-                        "no stdlib codec for this payload (jpeg/png/gif/mp4 "
-                        "need PIL/ffmpeg) — plug a real decoder here"
+                        "no stdlib parser for this payload (pixel decode / "
+                        "mp4/webm need PIL/ffmpeg) — plug a real decoder here"
                     )
                 widths.append(w0)
                 heights.append(h0)
@@ -206,6 +270,61 @@ def make_ppm(width: int, height: int) -> bytes:
     """Binary P6 PPM with a comment line (exercises the tolerant parse)."""
     px = bytes((i % 256 for i in range(width * height * 3)))
     return b"P6\n# fixture\n%d %d\n255\n" % (width, height) + px
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Structurally valid PNG: signature + IHDR (real CRC via zlib) + a
+    zlib-deflated IDAT of deterministic grayscale rows + IEND."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(((x + y * 3) % 256 for x in range(width)))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer (the
+    dimension law needs no image data block)."""
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00\x00\x00;"
+    )
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG marker stream: SOI + APP0/JFIF + a COM segment (the
+    walk must skip it) + SOF0 carrying the dimensions + EOI."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    com = b"fixture comment"
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xfe" + struct.pack(">H", len(com) + 2) + com
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"
+    )
 
 
 def make_wav(duration_ms: int, framerate: int = 8000) -> bytes:

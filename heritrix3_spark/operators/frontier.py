@@ -47,6 +47,7 @@ S_CONNECT_LOST = -3
 S_TIMEOUT = -4
 S_DEFERRED = -50
 S_ROBOTS_PREREQUISITE_FAILURE = -61
+S_OTHER_PREREQUISITE_FAILURE = -62
 S_TOO_MANY_LINK_HOPS = -4001
 S_TOO_MANY_EMBED_HOPS = -4002
 S_OUT_OF_SCOPE = -5000

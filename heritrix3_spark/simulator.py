@@ -162,6 +162,10 @@ class SimConfig:
     # AMQPUrlReceiver analog (CrawlConfig.amqp twins; operators/amqp.py)
     amqp: str = "off"
     amqp_force_fetch: bool = False
+    # FetchWhois (CrawlConfig.whois twins; operators/whois.py):
+    # () -> DEFAULT_SPECIAL_QUERY_TEMPLATES
+    whois: str = "off"
+    whois_templates: tuple = ()
 
 
 @dataclass
@@ -271,6 +275,7 @@ def simulate(
     from heritrix3_spark.operators import forms as _forms
     from heritrix3_spark.operators import amqp as _amqp
     from heritrix3_spark.operators import ftp as _ftp
+    from heritrix3_spark.operators import whois as _whois
 
     cfg = config or SimConfig()
     web_ct = web_ct or {}
@@ -431,6 +436,13 @@ def simulate(
     robots_state: dict[str, tuple[Robotstxt, int]] = {}
     dns_state: dict[str, int] = {}
 
+    # FetchWhois knowledge (referralServers + urlProgress, FetchWhois.java
+    # :150-152). Progress keys are the RAW uri strings as built/scheduled
+    # (urlProgress.put(curi.toString()) :377) — not canonical forms.
+    whois_referrals: dict[str, str] = {}
+    whois_progress: dict[str, int] = {}
+    whois_tpl = cfg.whois_templates or None
+
     # QuotaEnforcer FetchStats substats: (cat, key) -> metric dict
     quotas = dict(cfg.quotas)
     _QUOTA_METRICS = {
@@ -572,6 +584,12 @@ def simulate(
 
             quota_snapshot = _copy.deepcopy(quota_stats)
             source_snapshot = _copy.deepcopy(source_stats)
+        # FetchWhois knowledge reads are round-start snapshots (the batch
+        # analog of the serial referral walk — engine parity; writes land
+        # in the live dicts and become visible next round)
+        if cfg.whois == "on":
+            w_ref_snap = dict(whois_referrals)
+            w_prog_snap = dict(whois_progress)
         round_fetches = []  # (ordinal, server, class_key, status, content, size)
         pending_cookies: list = []  # (ordinal, Cookie) -> applied at round end
         round_log_start = len(log)
@@ -602,6 +620,9 @@ def simulate(
             for m, curi in enumerate(take):
                 scheme, server, path_q = _server_path(curi.canonical)
                 is_dns = scheme == "dns"
+                # serverless whois URIs ("whois:foo.org") have no
+                # authority, so _server_path yields (None, None, None)
+                is_whois = curi.canonical.startswith("whois:")
                 is_robots = path_q == "/robots.txt"
                 # CrawlServer.getServerKey (CrawlServer.java:259-283): the
                 # SERVER-STATE key — https without an explicit port appends
@@ -659,7 +680,33 @@ def simulate(
                     # expired when fetched_at + dur*1000 < round-start clock
                     return dur_s == 0 or at + dur_s * 1000 >= T
 
-                if server is not None and not is_dns:
+                # FetchWhois serverless resolution (deferOrFinishGeneric,
+                # FetchWhois.java:257-304) — whois URIs are EXEMPT from the
+                # dns precondition (:279-281) and robots only gates
+                # http/https (:172), so the whois branch resolves first
+                whois_term = None  # terminal serverless status (-62/2002)
+                whois_server = None
+                whois_q = None
+                whois_try = None
+                if cfg.whois == "on" and is_whois:
+                    whois_server, _wp, whois_q = _whois.parse_whois_uri(
+                        curi.canonical
+                    )
+                    if whois_server is None:
+                        outcome, whois_try = _whois.serverless_next(
+                            whois_q, w_ref_snap, w_prog_snap, whois_tpl
+                        )
+                        if outcome == "fail":
+                            whois_term = -62  # S_OTHER_PREREQUISITE_FAILURE
+                        elif outcome == "finished":
+                            whois_term = _whois.S_WHOIS_GENERIC_FINISHED
+                        else:
+                            # mark -> prerequisite; wait -> bare re-defer
+                            forced = -50
+                            reason = (
+                                "whois" if outcome == "mark" else "whois_wait"
+                            )
+                if server is not None and not is_dns and not is_whois:
                     dns_known = cfg.dns != "obey" or (
                         server in dns_state
                         and _fresh(dns_state[server], cfg.ip_validity_duration_s)
@@ -685,6 +732,7 @@ def simulate(
                     and forced is None
                     and server is not None
                     and not is_dns
+                    and not is_whois
                     and not is_robots
                     and _auth.form_cred_for_login(
                         curi.canonical, cfg.form_credentials
@@ -712,21 +760,34 @@ def simulate(
                                 for d, lu in cfg.form_credentials
                                 if d == server
                             )
+                        elif reason == "whois":
+                            # markPrerequisite(tryThis) + IN_PROGRESS
+                            # (FetchWhois.java:287-293); never overwrites
+                            # an existing entry (DONE wins any interleave)
+                            prereq = whois_try
+                            whois_progress.setdefault(
+                                whois_try, _whois.IN_PROGRESS
+                            )
+                        elif reason == "whois_wait":
+                            # tryThis already IN_PROGRESS elsewhere: bare
+                            # re-defer, no new prerequisite (:296-299)
+                            prereq = None
                         else:
                             prereq = f"{scheme}://{server}/robots.txt"
-                        candidates.append(
-                            (
-                                curi.ordinal,
-                                -1,
-                                prereq,
-                                _ehp(curi.hops_path, "P"),
-                                curi.canonical,
-                                HIGHEST,
-                                False,
-                                prereq_force,
-                                curi.data,
+                        if prereq is not None:
+                            candidates.append(
+                                (
+                                    curi.ordinal,
+                                    -1,
+                                    prereq,
+                                    _ehp(curi.hops_path, "P"),
+                                    curi.canonical,
+                                    HIGHEST,
+                                    False,
+                                    prereq_force,
+                                    curi.data,
+                                )
                             )
-                        )
                     else:
                         disposition = "fail"
                         q.total_expenditure += curi.cost + cfg.error_penalty
@@ -753,7 +814,7 @@ def simulate(
                     continue
                 # QuotaEnforcer gate (after preconditions, before fetch —
                 # chain position per profile cxml; dns: URIs exempt)
-                if quotas and forced is None and not is_dns:
+                if quotas and forced is None and not is_dns and not is_whois:
                     if quota_blocked(
                         quota_snapshot, skey, skey.split(":")[0], ck
                     ):
@@ -781,6 +842,7 @@ def simulate(
                     (cfg.host_quotas or cfg.source_quotas)
                     and forced is None
                     and not is_dns
+                    and not is_whois
                 ):
                     cq_ann = None
                     hq_host = skey.split(":")[0]
@@ -826,6 +888,21 @@ def simulate(
                         continue
                 if is_dns:
                     status = 1  # S_DNS_SUCCESS (synthetic resolution)
+                elif whois_term is not None:
+                    # serverless whois terminal: no network fetch happens,
+                    # so status overrides never apply (FetchWhois.java
+                    # :266-268, :294-295)
+                    status = whois_term
+                elif cfg.whois == "on" and is_whois:
+                    # server-ful whois fetch: recorded response -> 2001,
+                    # no recorded response -> connect failure (-2,
+                    # retryable — FetchWhois.java:359-366)
+                    status = overrides.get(
+                        curi.canonical,
+                        _whois.S_WHOIS_SUCCESS
+                        if curi.canonical in web
+                        else -2,
+                    )
                 else:
                     status = overrides.get(
                         curi.canonical, 200 if curi.canonical in web else 404
@@ -837,6 +914,7 @@ def simulate(
                     cfg.cookies == "obey"
                     and cfg.cookie_zones
                     and not is_dns
+                    and not is_whois
                     and server is not None
                 ):
                     zname = _cookie_zone_for(server, path_q or "")
@@ -859,7 +937,7 @@ def simulate(
                 attached = None
                 disposition = "success"
                 auth_retry = False
-                if cfg.auth_zones and not is_dns:
+                if cfg.auth_zones and not is_dns and not is_whois:
                     auth_zone = _auth.zone_for(
                         server, path_q or "", cfg.auth_zones
                     )
@@ -922,6 +1000,35 @@ def simulate(
                         k: v for k, v in curi.data.items()
                         if k != _auth.AUTH_DATA_KEY
                     }
+                if status in (-2, -3, -1):
+                    # needsReenqueuing (engine FR.needs_retry_col twin):
+                    # connect/DNS failures retry with retryDelayFor's 900 s
+                    # queue snooze — not politeness — and the fetch WAS
+                    # attempted, so cost is charged and (whois) the url
+                    # still marks DONE in the finally (FetchWhois.java:377)
+                    if (
+                        cfg.whois == "on"
+                        and is_whois
+                        and whois_server is not None
+                    ):
+                        whois_progress[curi.uri] = _whois.DONE
+                    if curi.fetch_attempts + 1 < cfg.max_retries:
+                        curi.fetch_attempts += 1
+                        requeue.append(curi)
+                        q.total_expenditure += curi.cost
+                        t_host += 900_000  # DEFAULT_RETRY_DELAY_MS
+                        log.append(
+                            dict(round=rnd, class_key=ck, uri=curi.uri,
+                                 canonical=curi.canonical,
+                                 ordinal=curi.ordinal,
+                                 fetch_status=status, disposition="retry",
+                                 source_tag=(curi.data or {}).get("source_tag"),
+                                 content_type=None, content_length=0,
+                                 annotation=_amqp_ann(curi.data))
+                        )
+                        continue
+                if status <= 0:
+                    disposition = "fail"  # isSuccess() is status > 0
                 duration = cfg.fetch_duration_ms
                 delay = int(cfg.delay_factor * duration)
                 delay = max(delay, cfg.min_delay_ms)
@@ -983,12 +1090,16 @@ def simulate(
                     web_ct=web_ct.get(curi.canonical),
                     is_ftp_dir=is_ftp_dir,
                 )
+                if status == _whois.S_WHOIS_SUCCESS:
+                    # fetch() sets text/plain on success (FetchWhois.java
+                    # :357) and the recorder size is the body size
+                    ct = "text/plain"
                 ct_size = (
                     sum(
                         len(t or "") + len(r or "")
                         for k, t, r, o in web.get(curi.canonical, [])
                     )
-                    if 200 <= status < 300
+                    if 200 <= status < 300 or status == _whois.S_WHOIS_SUCCESS
                     else 0
                 )
                 row = dict(
@@ -1044,6 +1155,19 @@ def simulate(
                     else:
                         body = ""  # NO_ROBOTS: allow all
                     robots_state[skey] = (Robotstxt(body), T)
+                if cfg.whois == "on" and whois_server is not None:
+                    # fetch() finally: DONE even on failure (:370-377);
+                    # referral-line scan only on a connected response
+                    whois_progress[curi.uri] = _whois.DONE
+                    if status == _whois.S_WHOIS_SUCCESS:
+                        wbody = "\n".join(
+                            t
+                            for k, t, r, o in web.get(curi.canonical, [])
+                            if k == "text" and t
+                        )
+                        wref = _whois.referral_from_body(whois_q, wbody)
+                        if wref is not None:
+                            whois_referrals[wref[0]] = wref[1]
                 # futureUris: successful non-prerequisite fetches re-visit
                 # at round_start + interval (prereq detection only exists
                 # when the precondition gate runs — engine parity)
@@ -1196,6 +1320,30 @@ def simulate(
                             (
                                 curi.ordinal, i, url,
                                 _ehp(curi.hops_path, "L"), curi.uri, NORMAL,
+                                curi.is_seed, False, curi.data,
+                            )
+                        )
+                if (
+                    cfg.whois == "on"
+                    and not is_dns
+                    and not is_whois
+                    and server is not None
+                    and status >= 100
+                ):
+                    # addWhoisLinks (FetchWhois.java:437-460): fetch-chain
+                    # position (before the extractors) -> negative outlink
+                    # indices sort the 0-2 'I' links ahead of every
+                    # content-derived link; fires for any completed fetch
+                    # (FetchWhois runs before FetchHTTP, so even a 404's
+                    # chain pass added them)
+                    wip = _whois.host_ip(server, cfg.dns == "obey")
+                    for wi, wuri in enumerate(
+                        _whois.whois_targets(server, wip)
+                    ):
+                        candidates.append(
+                            (
+                                curi.ordinal, -3 + wi, wuri,
+                                _ehp(curi.hops_path, "I"), curi.uri, NORMAL,
                                 curi.is_seed, False, curi.data,
                             )
                         )

@@ -234,16 +234,34 @@ def test_media_decode_real_formats(spark):
         ("ppm0", "image", "image/x-portable-pixmap", 1, 1, None,
          bytearray(MM.make_ppm(5, 3))),
         ("wav0", "audio", "audio/x-wav", None, None, 7, bytearray(MM.make_wav(1250))),
+        ("png0", "image", "image/png", 1, 1, None, bytearray(MM.make_png(31, 13))),
+        ("gif0", "image", "image/gif", 1, 1, None, bytearray(MM.make_gif(640, 350))),
+        ("jpg0", "image", "image/jpeg", 1, 1, None,
+         bytearray(MM.make_jpeg(123, 45))),
     ]
     df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
     got = {r.media_id: r for r in MM.decode_media(df, strict=True).collect()}
     assert (got["bmp0"].width, got["bmp0"].height) == (17, 9)
     assert (got["ppm0"].width, got["ppm0"].height) == (5, 3)
     assert got["wav0"].duration_ms == 1250
+    assert (got["png0"].width, got["png0"].height) == (31, 13)
+    assert (got["gif0"].width, got["gif0"].height) == (640, 350)
+    assert (got["jpg0"].width, got["jpg0"].height) == (123, 45)
     # scalar parsers agree with the generators directly (incl. edge forms)
     assert MM._decode_bmp(MM.make_bmp(1, 1)) == (1, 1)
     assert MM._decode_pnm(b"P5\n#c\n 640\t480\n255\n") == (640, 480)
     assert MM._decode_bmp(b"JUNK") is None and MM._decode_wav(b"RIFFxxxx") is None
+    # png fixture is a REAL png (zlib-verifiable IDAT, correct CRCs)
+    import struct as _struct
+    import zlib as _zlib
+
+    png = MM.make_png(4, 2)
+    assert _zlib.crc32(png[12:29]) == _struct.unpack(">I", png[29:33])[0]
+    # jpeg walk skips APP0/COM and stops at SOF0; truncated streams -> None
+    assert MM._decode_jpeg(MM.make_jpeg(9, 7)) == (9, 7)
+    assert MM._decode_jpeg(b"\xff\xd8\xff\xd9") is None
+    assert MM._decode_png(b"\x89PNG\r\n\x1a\n....") is None
+    assert MM._decode_gif(b"GIF89a~~") is None  # too short for the LSD
     # non-strict: undecodable payloads pass through with metadata untouched
     junk = spark.createDataFrame(
         [("j0", "image", "image/gif", 4, 2, None, bytearray(b"GIF89a~~"))],
