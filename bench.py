@@ -131,10 +131,16 @@ def bench_crawl_rounds(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
     try:
+        # persist + materialize the synthetic web ONCE: it stands in for a
+        # parquet documents table; without this the driver-side row
+        # serialization + repartition shuffle re-executes inside every
+        # round's fetch join and the bench measures fixture generation,
+        # not the engine
         web = FX.synth_web_df(
             spark, hosts=hosts, pages=pages, hot_host=0, hot_factor=hot_factor,
             num_partitions=CPUS,
-        )
+        ).persist()
+        web.count()
         eng = CrawlEngine(
             spark,
             state_dir,
@@ -153,6 +159,7 @@ def bench_crawl_rounds(
         scheduled = eng.seen_count()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        web.unpersist()
     return {
         "rounds": done,
         "fetched": fetched,

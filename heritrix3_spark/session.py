@@ -29,6 +29,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays TRUE (false hangs tiny rounds on this
+        # build — see CLAUDE.md), but its adaptive target is floored by
+        # minPartitionSize (default 1 MiB): a few-MB crawl round coalesces
+        # to 1-3 partitions and the pandas-UDF extract stage then runs
+        # SERIAL (measured: task time == wall on every round phase). At
+        # cluster scale total/defaultParallelism dominates the floor, so
+        # lowering it only restores small-batch parallelism.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -30,6 +30,7 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 @dataclass
@@ -77,6 +78,25 @@ class SnapshotTable:
         os.replace(tmp, self._pointer_path())  # atomic pointer swap
 
     # -- operations ------------------------------------------------------
+    def _read_pinned(
+        self, spark: SparkSession, versions: list[int]
+    ) -> DataFrame:
+        """Read snapshot dirs with the schema pinned from commit metadata.
+
+        ``spark.read.parquet`` without a schema launches a footer-inference
+        job per call; at crawl-round granularity those tiny jobs were a
+        measurable slice of the per-round fixed cost (~10+ jobs/round across
+        the state tables). The writer records ``df.schema.json()`` in the
+        snapshot sidecar, so readers skip inference entirely. Falls back to
+        inference for pre-existing snapshots without the key.
+        """
+        paths = [self.snapshot_path(x) for x in versions]
+        sch = self._meta(versions[-1]).get("schema")
+        reader = spark.read
+        if sch:
+            reader = reader.schema(StructType.fromJson(json.loads(sch)))
+        return reader.parquet(*paths)
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
         if v == 0:
@@ -84,7 +104,7 @@ class SnapshotTable:
         chain = self._parents(v)
         if not chain:  # retain-commit emptied the live set
             raise FileNotFoundError(f"table {self.name} is empty at v{v}")
-        return spark.read.parquet(*[self.snapshot_path(x) for x in chain])
+        return self._read_pinned(spark, chain)
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> SnapshotInfo:
         v = self.latest_version() + 1
@@ -93,7 +113,7 @@ class SnapshotTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        self._commit(v, {"mode": "overwrite"})
+        self._commit(v, {"mode": "overwrite", "schema": df.schema.json()})
         return SnapshotInfo(v, path)
 
     def append(self, df: DataFrame, extra: dict | None = None) -> SnapshotInfo:
@@ -106,7 +126,15 @@ class SnapshotTable:
         path = self.snapshot_path(v)
         df.write.mode("overwrite").parquet(path)
         parents = self._parents(self.latest_version())
-        self._commit(v, {"mode": "append", "parents": parents, **(extra or {})})
+        self._commit(
+            v,
+            {
+                "mode": "append",
+                "parents": parents,
+                "schema": df.schema.json(),
+                **(extra or {}),
+            },
+        )
         return SnapshotInfo(v, path)
 
     def retain(self, versions: list[int]) -> SnapshotInfo:
@@ -137,12 +165,20 @@ class SnapshotTable:
         if len(tail) < every:
             return False
         head = chain[:i]
-        df = spark.read.parquet(*[self.snapshot_path(x) for x in tail])
+        df = self._read_pinned(spark, tail)
         v = self.latest_version() + 1
         df.coalesce(max(1, len(tail) // 16)).write.mode("overwrite").parquet(
             self.snapshot_path(v)
         )
-        self._commit(v, {"mode": "append", "parents": head, "folded": True})
+        self._commit(
+            v,
+            {
+                "mode": "append",
+                "parents": head,
+                "folded": True,
+                "schema": df.schema.json(),
+            },
+        )
         return True
 
     def _parents(self, version: int) -> list[int]:
@@ -300,23 +336,34 @@ class MergeOnReadTable:
 
     # -- read (the merge) -----------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
-        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         base = self.base.read(spark)
         if not self.delta.exists():
             return base
         delta = self.delta.read(spark)
-        w = Window.partitionBy(self.key).orderBy(
-            F.col("__seq").desc(), F.col("__tomb").desc()
-        )
+        # latest-by-(__seq, __tomb) per key as ONE declarative aggregate
+        # (max_by over a comparison struct; booleans order false < true so
+        # a same-seq tombstone wins, matching the window law this replaces).
+        # vs the previous row_number window + separate select(key).distinct:
+        # one shuffle instead of two over the same delta, and the aggregate
+        # gets a map-side partial pass — at crawl-round granularity each
+        # saved shuffle is a whole AQE stage-job of fixed cost, and every
+        # state-table read (frontier/hosts/robots/dns/cookies) pays it.
+        rest = [c for c in delta.columns if c != self.key]
         latest = (
-            delta.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            delta.groupBy(self.key)
+            .agg(
+                F.max_by(
+                    F.struct(*rest),
+                    F.struct(F.col("__seq"), F.col("__tomb")),
+                ).alias("__r")
+            )
+            .select(self.key, "__r.*")
         )
         live = latest.filter(~F.col("__tomb")).drop("__seq", "__tomb")
-        keys = delta.select(self.key).distinct()
+        # one row per key by construction — this IS the delta key set
+        keys = latest.select(self.key)
         return base.join(keys, self.key, "left_anti").unionByName(live)
 
     # -- maintenance ------------------------------------------------------
@@ -415,7 +462,7 @@ class TimeBucketedAppendTable:
         if not due:
             return None
         keep = [v for v, b in buckets if b > threshold]
-        df = spark.read.parquet(*[self.t.snapshot_path(v) for v in due])
+        df = self.t._read_pinned(spark, due)
         self.t.retain(keep)
         return df
 
