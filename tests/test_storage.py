@@ -178,3 +178,29 @@ def test_fold_tail_bounds_chain_and_never_refolds(spark, tmp_path):
     assert t.fold_tail(spark, every=8)
     assert len(t._parents(t.latest_version())) == 3
     assert sorted(r.x for r in t.read(spark).collect()) == list(range(17))
+
+
+def test_schema_pinning_recorded_and_legacy_fallback(spark, tmp_path):
+    """r5: commits record schema.json in the sidecar and reads pass it
+    explicitly (no footer-inference job); snapshots written BEFORE the
+    key existed (r4 checkpoints being resumed) must still read via
+    inference."""
+    import json
+    import os
+
+    t = SnapshotCatalog(str(tmp_path)).table("t")
+    t.overwrite(_df(spark, [1, 2]))
+    t.append(_df(spark, [3]))
+    metas = [t._meta(v) for v in t._parents(t.latest_version())]
+    assert all("schema" in m for m in metas)
+    assert sorted(r.x for r in t.read(spark).collect()) == [1, 2, 3]
+    # simulate a legacy sidecar: strip the schema key from every meta
+    for f in os.listdir(t.dir):
+        if f.startswith("_meta_"):
+            p = os.path.join(t.dir, f)
+            with open(p) as fh:
+                m = json.load(fh)
+            m.pop("schema", None)
+            with open(p, "w") as fh:
+                json.dump(m, fh)
+    assert sorted(r.x for r in t.read(spark).collect()) == [1, 2, 3]
