@@ -53,10 +53,17 @@ def punct_ratio_col(text: Column) -> Column:
 
 
 def stopword_ratio_col(text: Column, lang: str = "en") -> Column:
-    words = words_col(text)
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
-    return F.when(F.size(words) > 0, hits / F.size(words)).otherwise(F.lit(0.0))
+    sw = STOPWORDS[lang]
+
+    # bind the words array ONCE through a transform-lambda: Catalyst
+    # otherwise duplicates the split(trim(lower(text))) subtree into every
+    # reference (3x here — see canonicalize.py for the same pattern), and
+    # `isin` compiles to a hash-set probe instead of an O(|sw|) array scan
+    def _ratio(ws: Column) -> Column:
+        hits = F.size(F.filter(ws, lambda w: w.isin(*sw)))
+        return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(words_col(text)), _ratio)[0]
 
 
 def mean_word_length_col(text: Column) -> Column:
@@ -69,16 +76,45 @@ def quality_score_col(text: Column) -> Column:
     """Composite [0,1] quality heuristic: length band + sane punctuation +
     English-ish stopword density + sane mean word length. Each component is
     a pure Column, so the score compiles to one codegen stage.
+
+    The words array, the punctuation count and the text length are bound
+    once through a transform-lambda (Catalyst would otherwise expand the
+    split subtree ~10x across the CASE branches), and the stopword-hit and
+    word-length sums fuse into ONE aggregate pass over the bound array
+    (previously: a filter pass plus two aggregate passes).
     """
-    n_tokens = token_count_col(text)
-    len_ok = F.when((n_tokens >= 10) & (n_tokens <= 100_000), 0.25).otherwise(0.0)
-    punct = punct_ratio_col(text)
-    punct_ok = F.when((punct > 0.001) & (punct < 0.3), 0.25).otherwise(0.0)
-    sw = stopword_ratio_col(text)
-    sw_ok = F.when(sw > 0.03, 0.25).otherwise(0.0)
-    mwl = mean_word_length_col(text)
-    mwl_ok = F.when((mwl >= 3.0) & (mwl <= 12.0), 0.25).otherwise(0.0)
-    return (len_ok + punct_ok + sw_ok + mwl_ok).cast("double")
+    sw = STOPWORDS["en"]
+    bound = F.struct(
+        words_col(text).alias("ws"),
+        F.regexp_count(text, F.lit(r"[^\w\s]")).alias("pn"),
+        F.length(text).alias("len"),
+    )
+
+    def _score(b: Column) -> Column:
+        ws, pn, ln = b["ws"], b["pn"], b["len"]
+        stats = F.aggregate(
+            ws,
+            F.struct(F.lit(0).alias("hits"), F.lit(0).alias("total")),
+            lambda acc, w: F.struct(
+                (acc["hits"] + F.when(w.isin(*sw), 1).otherwise(0)).alias("hits"),
+                (acc["total"] + F.length(w)).alias("total"),
+            ),
+        )
+
+        def _fin(st: Column) -> Column:
+            n = F.size(ws)
+            len_ok = F.when((n >= 10) & (n <= 100_000), 0.25).otherwise(0.0)
+            punct = F.when(ln > 0, pn / ln).otherwise(F.lit(0.0))
+            punct_ok = F.when((punct > 0.001) & (punct < 0.3), 0.25).otherwise(0.0)
+            swr = F.when(n > 0, st["hits"] / n).otherwise(F.lit(0.0))
+            sw_ok = F.when(swr > 0.03, 0.25).otherwise(0.0)
+            mwl = F.when(n > 0, st["total"] / n).otherwise(F.lit(0.0))
+            mwl_ok = F.when((mwl >= 3.0) & (mwl <= 12.0), 0.25).otherwise(0.0)
+            return len_ok + punct_ok + sw_ok + mwl_ok
+
+        return F.transform(F.array(stats), _fin)[0]
+
+    return F.transform(F.array(bound), _score)[0].cast("double")
 
 
 def lang_id_col(text: Column) -> Column:
@@ -87,17 +123,33 @@ def lang_id_col(text: Column) -> Column:
     A classic n-gram/function-word heuristic expressed as pure columns:
     per-language hit counts -> argmax via greatest+case.
     """
-    words = words_col(text)
-    scores = {}
-    for lang, sws in STOPWORDS.items():
-        arr = F.array(*[F.lit(w) for w in sws])
-        scores[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
-    best = F.greatest(*scores.values())
-    out = F.lit("und")
-    # reversed so earlier languages win ties (deterministic)
-    for lang in reversed(list(scores)):
-        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
-    return out
+    langs = list(STOPWORDS)
+    # ONE aggregate pass over the words array computes all four language
+    # vote counts at once (was: four filter passes, each re-expanding the
+    # split subtree); the vote struct is bound through a transform-lambda
+    # so the argmax CASE chain references it without re-evaluating it.
+    votes = F.aggregate(
+        words_col(text),
+        F.struct(*[F.lit(0).alias(lang) for lang in langs]),
+        lambda acc, w: F.struct(
+            *[
+                (
+                    acc[lang] + F.when(w.isin(*STOPWORDS[lang]), 1).otherwise(0)
+                ).alias(lang)
+                for lang in langs
+            ]
+        ),
+    )
+
+    def _argmax(v: Column) -> Column:
+        best = F.greatest(*[v[lang] for lang in langs])
+        out = F.lit("und")
+        # reversed so earlier languages win ties (deterministic)
+        for lang in reversed(langs):
+            out = F.when((best > 0) & (v[lang] == best), F.lit(lang)).otherwise(out)
+        return out
+
+    return F.transform(F.array(votes), _argmax)[0]
 
 
 @pandas_udf(LongType())
