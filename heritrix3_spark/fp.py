@@ -103,6 +103,30 @@ class FPGenerator:
         n = len(strings)
         if n == 0:
             return np.empty(0, dtype=np.uint64)
+        mat = _unicode_matrix(strings)
+        if mat is None:  # non-BMP char present: exact UTF-16 unit law
+            return self._fp_batch_utf16(strings)
+        units, lens = mat
+        return self._fp_units(units, lens)
+
+    def _fp_units(self, units: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        f = np.full(len(lens), self.empty, dtype=np.uint64)
+        t6 = self._np_table[6]
+        t7 = self._np_table[7]
+        m8 = np.uint64(0xFF)
+        s8, s16 = np.uint64(8), np.uint64(16)
+        maxlen = int(lens.max()) if len(lens) else 0
+        for p in range(maxlen):
+            active = lens > p
+            g = f ^ units[:, p].astype(np.uint64)
+            nf = (g >> s16) ^ t6[g & m8] ^ t7[(g >> s8) & m8]
+            f = np.where(active, nf, f)
+        return self._reduce_batch(f)
+
+    def _fp_batch_utf16(self, strings) -> np.ndarray:
+        """Per-string UTF-16 encode fallback (rare: non-BMP code points
+        need surrogate-pair units, which the codepoint matrix can't model)."""
+        n = len(strings)
         encoded = [s.encode("utf-16-be") for s in strings]
         lens = np.array([len(b) // 2 for b in encoded], dtype=np.int64)
         maxlen = int(lens.max()) if n else 0
@@ -110,19 +134,7 @@ class FPGenerator:
         for i, b in enumerate(encoded):
             if b:
                 units[i, : lens[i]] = np.frombuffer(b, dtype=">u2")
-        f = np.full(n, self.empty, dtype=np.uint64)
-        t6 = self._np_table[6]
-        t7 = self._np_table[7]
-        m8 = np.uint64(0xFF)
-        s8, s16 = np.uint64(8), np.uint64(16)
-        for p in range(maxlen):
-            active = lens > p
-            g = f ^ units[:, p].astype(np.uint64)
-            nf = (g >> s16) ^ t6[(g & m8).astype(np.int64)] ^ t7[
-                ((g >> s8) & m8).astype(np.int64)
-            ]
-            f = np.where(active, nf, f)
-        return self._reduce_batch(f)
+        return self._fp_units(units, lens)
 
     def _reduce_batch(self, f: np.ndarray) -> np.ndarray:
         n = 8 - self.degree // 8
@@ -144,6 +156,28 @@ std40 = FPGenerator(40)
 std64 = FPGenerator(64)
 
 
+def _unicode_matrix(strings) -> tuple[np.ndarray, np.ndarray] | None:
+    """(codepoint_matrix[uint32 n x maxlen], lens) for a batch of strings.
+
+    One C-level conversion replaces the former per-row encode +
+    matrix-fill Python loop (it was the dominant cost of fp_udf batches).
+    For BMP-only text a UTF-16 code unit equals the code point, so the
+    matrix feeds the fingerprint loop directly; returns None when any
+    non-BMP code point (surrogate pair in UTF-16) is present — callers
+    fall back to the exact per-string encode path.
+    """
+    arr = np.asarray(strings, dtype="U")
+    n = len(arr)
+    maxlen = arr.dtype.itemsize // 4
+    if maxlen == 0:
+        return np.zeros((n, 0), dtype=np.uint32), np.zeros(n, dtype=np.int64)
+    units = np.ascontiguousarray(arr).view(np.uint32).reshape(n, maxlen)
+    if int(units.max(initial=0)) >= 0x10000:
+        return None
+    lens = np.char.str_len(arr).astype(np.int64)
+    return units, lens
+
+
 def _scheme_authority(url: str) -> str:
     """Scheme+authority prefix per BdbUriUniqFilter.calcSchemeAuthorityKeyBytes.
 
@@ -163,11 +197,66 @@ def create_key(url: str) -> int:
 
 
 def create_key_batch(urls) -> np.ndarray:
-    """Vectorized create_key over a batch; returns int64 (signed) array."""
+    """Vectorized create_key over a batch; returns int64 (signed) array.
+
+    Fused kernel: ONE codepoint-matrix conversion and ONE position loop
+    compute both fingerprints (std40 over the whole URL, std24 over the
+    scheme+authority prefix — just a shorter active length on the same
+    matrix). The authority boundary (find "://" then the next "/",
+    BdbUriUniqFilter.calcSchemeAuthorityKeyBytes) is located vectorized.
+    The former shape paid a per-row Python _scheme_authority + two
+    separate encode/fill passes; this was the top per-row cost of the
+    candidate pipeline's only Python stage.
+    """
     urls = list(urls)
-    hi = std24.fp_batch([_scheme_authority(u) for u in urls])
-    lo = std40.fp_batch(urls) >> np.uint64(24)
-    return (hi | lo).astype(np.int64, copy=False).view(np.int64)
+    n = len(urls)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    mat = _unicode_matrix(urls)
+    if mat is None:  # rare non-BMP fallback: the exact per-string law
+        hi = std24._fp_batch_utf16([_scheme_authority(u) for u in urls])
+        lo = std40._fp_batch_utf16(urls) >> np.uint64(24)
+        return (hi | lo).view(np.int64)
+    units, lens = mat
+    maxlen = units.shape[1]
+    # authority end: idx = find("://"); if idx > 0: idx = find("/", idx+3);
+    # whole url when idx == -1, else url[:idx]. Padding is NUL so matches
+    # can't extend past a row's length.
+    if maxlen >= 3:
+        css = (
+            (units[:, :-2] == ord(":"))
+            & (units[:, 1:-1] == ord("/"))
+            & (units[:, 2:] == ord("/"))
+        )
+        idx1 = np.where(css.any(axis=1), css.argmax(axis=1), -1)
+    else:
+        idx1 = np.full(n, -1, dtype=np.int64)
+    slash = units == ord("/")
+    pos = np.arange(maxlen, dtype=np.int64)
+    m2 = slash & (pos[None, :] >= (idx1 + 3)[:, None])
+    idx2 = np.where(m2.any(axis=1), m2.argmax(axis=1), -1)
+    final_idx = np.where(idx1 > 0, idx2, idx1)
+    auth_len = np.where(final_idx == -1, lens, final_idx)
+
+    f24 = np.full(n, std24.empty, dtype=np.uint64)
+    f40 = np.full(n, std40.empty, dtype=np.uint64)
+    t24_6, t24_7 = std24._np_table[6], std24._np_table[7]
+    t40_6, t40_7 = std40._np_table[6], std40._np_table[7]
+    m8 = np.uint64(0xFF)
+    s8, s16 = np.uint64(8), np.uint64(16)
+    auth_max = int(auth_len.max(initial=0))
+    for p in range(int(lens.max(initial=0))):
+        c = units[:, p].astype(np.uint64)
+        g = f40 ^ c
+        nf = (g >> s16) ^ t40_6[g & m8] ^ t40_7[(g >> s8) & m8]
+        f40 = np.where(lens > p, nf, f40)
+        if p < auth_max:
+            g = f24 ^ c
+            nf = (g >> s16) ^ t24_6[g & m8] ^ t24_7[(g >> s8) & m8]
+            f24 = np.where(auth_len > p, nf, f24)
+    hi = std24._reduce_batch(f24)
+    lo = std40._reduce_batch(f40) >> np.uint64(24)
+    return (hi | lo).view(np.int64)
 
 
 def _to_signed(v: int) -> int:
