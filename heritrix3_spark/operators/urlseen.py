@@ -322,7 +322,12 @@ class UrlSeen:
         new = fps.select(
             F.col(fp_field).alias("fp"),
             bucket_col(F.col(fp_field), self.num_buckets).alias("bucket"),
-        ).dropDuplicates(["fp"])
+        )
+        if not assume_novel:
+            new = new.dropDuplicates(["fp"])
+        # else: the caller's contract already guarantees uniqueness — the
+        # crawl loop feeds the first-discovery-ranked (one row per fp),
+        # anti-joined novel set, so the dedup shuffle would be pure cost
         pinned = None
         if self.forgot_t.exists():
             # a re-added fp cancels its forget tombstone (rare admin state;
