@@ -85,16 +85,20 @@ _A = np.array(
 _B = np.array([(40503 * (i + 1) ** 2 + 7) & _MERSENNE for i in range(_N_HASHES)], dtype=np.uint64)
 
 
-def _shingles(text: str, k: int = 5) -> np.ndarray:
-    """Hashes of k-word shingles (word n-grams) of normalized text."""
+def _shingle_strings(text: str, k: int = 5) -> list:
+    """k-word shingle strings (word n-grams) of normalized text."""
     words = text.lower().split()
     if len(words) < k:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    """Hashes of k-word shingles (word n-grams) of normalized text."""
+    grams = _shingle_strings(text, k)
     if not grams:
         return np.zeros(1, dtype=np.uint64)
-    return np.array([hash_str64(g) for g in grams], dtype=np.uint64)
+    return hash_str64_batch(grams)
 
 
 def hash_str64(s: str) -> int:
@@ -105,12 +109,56 @@ def hash_str64(s: str) -> int:
     return h
 
 
+def hash_str64_batch(strings: list) -> np.ndarray:
+    """Vectorized FNV-1a over a batch of strings (bit-identical to
+    hash_str64: uint64 multiply wraps mod 2^64 like the masked scalar).
+
+    One byte-matrix fill + one numpy pass per byte position replaces the
+    former per-string per-byte Python loop — that loop dominated both
+    signature UDFs' task time (guide §4.2: hand whole batches to
+    vectorized native code).
+    """
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = [s.encode("utf-8") for s in strings]
+    lens = np.fromiter((len(b) for b in enc), np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    if maxlen == 0:
+        return h
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    # row-major mask assignment: flat utf-8 bytes land per-row in order
+    buf[np.arange(maxlen)[None, :] < lens[:, None]] = np.frombuffer(
+        b"".join(enc), dtype=np.uint8
+    )
+    prime = np.uint64(0x100000001B3)
+    for p in range(maxlen):
+        nh = (h ^ buf[:, p]) * prime
+        h = np.where(lens > p, nh, h)
+    return h
+
+
 @pandas_udf(ArrayType(LongType()))
 def minhash_signature_udf(text: pd.Series) -> pd.Series:
-    """64-permutation MinHash signature per document (vectorized inner loop)."""
-    out = []
+    """64-permutation MinHash signature per document.
+
+    All documents' shingles hash in ONE vectorized FNV batch; the per-doc
+    permutation-min runs over precomputed hash segments (same values as
+    the former per-shingle scalar hashing, orders of magnitude less
+    Python interpretation)."""
+    gram_lists = []
     for t in text.fillna(""):
-        sh = _shingles(t)
+        sh = _shingle_strings(t)
+        gram_lists.append(sh)
+    flat = [g for grams in gram_lists for g in grams]
+    hashes = hash_str64_batch(flat)
+    out = []
+    off = 0
+    zero = np.zeros(1, dtype=np.uint64)
+    for grams in gram_lists:
+        sh = hashes[off : off + len(grams)] if grams else zero
+        off += len(grams)
         # (n_hashes, n_shingles) via broadcasting, min over shingles
         vals = (sh[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERSENNE)
         out.append(vals.min(axis=1).astype(np.int64).tolist())
@@ -119,20 +167,22 @@ def minhash_signature_udf(text: pd.Series) -> pd.Series:
 
 @pandas_udf(LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over word hashes (bit-vote, vectorized)."""
+    """64-bit SimHash over word hashes (bit-vote; batch-hashed words)."""
+    word_lists = [t.lower().split() for t in text.fillna("")]
+    hashes = hash_str64_batch([w for ws in word_lists for w in ws])
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
     out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text.fillna("")):
-        words = t.lower().split()
+    off = 0
+    powers = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+    for i, words in enumerate(word_lists):
         if not words:
             continue
-        hs = np.array([hash_str64(w) for w in words], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+        hs = hashes[off : off + len(words)]
+        off += len(words)
+        bits = ((hs[:, None] >> shifts) & 1).astype(np.int32)
         votes = bits.sum(axis=0) * 2 - len(words)
-        sig = 0
-        for b in range(64):
-            if votes[b] > 0:
-                sig |= 1 << b
-        out[i] = np.int64(np.uint64(sig).astype(np.int64))
+        sig = (powers * (votes > 0).astype(np.uint64)).sum(dtype=np.uint64)
+        out[i] = np.uint64(sig).astype(np.int64)
     return pd.Series(out)
 
 
@@ -220,7 +270,9 @@ def minhash_dedup_clusters(
     labels = (
         df.select(F.col(id_col).alias("id"))
         .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint()
+        # lazy: materializes inside the first iteration's join instead of
+        # paying a dedicated pass
+        .localCheckpoint(eager=False)
     )
     prev = labels  # previous iteration's checkpoint, released once superseded
     sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -239,7 +291,10 @@ def minhash_dedup_clusters(
                     "cluster_id"
                 ),
             )
-            .localCheckpoint()
+            # lazy checkpoint: the convergence count below is the first
+            # action and materializes the blocks in the SAME job (the
+            # eager form paid a separate full pass per iteration)
+            .localCheckpoint(eager=False)
         )
         changed = upd.filter(F.col("cluster_id") != F.col("old_cid")).count()
         labels = upd.select("id", "cluster_id")
@@ -307,22 +362,28 @@ def ngram_jaccard_pairs(
     Only candidate pairs from MinHash banding are verified — the exact
     computation never goes quadratic.
     """
+    # bind the split ONCE: a free subtree captured inside a HOF lambda is
+    # re-evaluated per sequence element (O(words^2) splits per doc)
+    def _doc_grams(w):
+        return F.transform(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(w) - n, F.lit(0))
+                    ),
+                    lambda i: F.slice(w, i + 1, n),
+                ),
+                lambda arr: F.size(arr) >= n,
+            ),
+            lambda arr: F.array_join(arr, " "),
+        )
+
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(
-                F.filter(
-                    F.transform(
-                        F.sequence(
-                            F.lit(0),
-                            F.greatest(F.size(F.split(F.lower(F.col(text_col)), r"\s+")) - n, F.lit(0)),
-                        ),
-                        lambda i: F.slice(F.split(F.lower(F.col(text_col)), r"\s+"), i + 1, n),
-                    ),
-                    lambda arr: F.size(arr) >= n,
-                ),
-                lambda arr: F.array_join(arr, " "),
-            )
+                F.array(F.split(F.lower(F.col(text_col)), r"\s+")), _doc_grams
+            )[0]
         ).alias("gram"),
     ).distinct()
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))

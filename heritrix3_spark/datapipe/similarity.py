@@ -33,6 +33,15 @@ _SCORE_SCHEMA = StructType(
 )
 
 
+def _batch_matrix(series: pd.Series) -> np.ndarray:
+    """Stack an Arrow list-column batch into an (n, dim) float64 matrix.
+
+    np.vstack over the element arrays skips the tolist() round trip
+    (each row was converted array -> Python list -> array); float32 ->
+    float64 widening is exact, so values are unchanged."""
+    return np.vstack(series.to_numpy()).astype(np.float64, copy=False)
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -62,7 +71,7 @@ def cosine_topk(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = _batch_matrix(pdf[vec_col])
             mat = _normalize(mat)
             scores = q @ mat.T  # (nq, batch)
             take = min(k, scores.shape[1])
@@ -112,7 +121,7 @@ def add_lsh_buckets(
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = _batch_matrix(pdf[vec_col])
             pdf = pdf.copy()
             pdf["lsh_bucket"] = lsh_bucket_col_data(mat, p)
             yield pdf
@@ -151,7 +160,7 @@ def lsh_cosine_topk(
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            mat = _normalize(_batch_matrix(pdf[vec_col]))
             qids = pdf["query_id"].to_numpy()
             scores = np.einsum("ij,ij->i", q[qids], mat)
             yield pd.DataFrame(
@@ -211,7 +220,7 @@ def add_ivf_cells(
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = _batch_matrix(pdf[vec_col])
             pdf = pdf.copy()
             pdf["ivf_cell"] = ivf_assign_data(mat, c)
             yield pdf
@@ -247,7 +256,7 @@ def ivf_refine_centroids(
             for pdf in pdf_iter:
                 if len(pdf) == 0:
                     continue
-                mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                mat = _batch_matrix(pdf[vec_col])
                 cells = ivf_assign_data(mat, c)
                 np.add.at(acc_n, cells, 1)
                 np.add.at(acc_s, cells, _normalize(mat))
@@ -304,7 +313,7 @@ def ivf_topk(
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            mat = _normalize(_batch_matrix(pdf[vec_col]))
             qids = pdf["query_id"].to_numpy()
             scores = np.einsum("ij,ij->i", q[qids], mat)
             yield pd.DataFrame(
@@ -393,8 +402,8 @@ def embedding_near_dup_pairs(
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            va = _normalize(np.array(pdf["__va"].tolist(), dtype=np.float64))
-            vb = _normalize(np.array(pdf["__vb"].tolist(), dtype=np.float64))
+            va = _normalize(_batch_matrix(pdf["__va"]))
+            vb = _normalize(_batch_matrix(pdf["__vb"]))
             cos = np.einsum("ij,ij->i", va, vb)
             yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "cosine": cos})
 

@@ -185,12 +185,25 @@ def _safe_frac(num: Column, den: Column) -> Column:
     )
 
 
+def _bind(value: Column, fn) -> Column:
+    """Evaluate ``value`` ONCE and pass the result to ``fn`` (the
+    transform-over-1-element-array binding from canonicalize.py).
+
+    Catalyst duplicates expression subtrees referenced more than once —
+    and re-evaluates subtrees *captured inside HOF lambdas* per array
+    element — so every multi-use of an expensive array expression below
+    goes through this."""
+    return F.transform(F.array(value), fn)[0]
+
+
 def dup_line_fraction_col(text: Column) -> Column:
     """Fraction of lines that are repeats of another line:
     1 - distinct_lines/lines (0 for empty docs)."""
-    lines = lines_col(text)
-    return _safe_frac(
-        F.size(lines) - F.size(F.array_distinct(lines)), F.size(lines)
+    return _bind(
+        lines_col(text),
+        lambda lines: _safe_frac(
+            F.size(lines) - F.size(F.array_distinct(lines)), F.size(lines)
+        ),
     )
 
 
@@ -198,26 +211,32 @@ def dup_line_char_fraction_col(text: Column) -> Column:
     """Character-weighted duplicate-line fraction: 1 - chars(distinct
     lines)/chars(all lines) — the dedup-savings form of Gopher's
     duplicate-line character fraction."""
-    lines = lines_col(text)
     chars = lambda arr: F.aggregate(  # noqa: E731
         arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
-    total = chars(lines)
-    return _safe_frac(total - chars(F.array_distinct(lines)), total)
+    return _bind(
+        lines_col(text),
+        lambda lines: _bind(
+            chars(lines),
+            lambda total: _safe_frac(
+                total - chars(F.array_distinct(lines)), total
+            ),
+        ),
+    )
 
 
 def dup_word_fraction_col(text: Column) -> Column:
     """Fraction of word occurrences that repeat an earlier word."""
-    w = words_col(text)
-    return _safe_frac(F.size(w) - F.size(F.array_distinct(w)), F.size(w))
+    return _bind(
+        words_col(text),
+        lambda w: _safe_frac(
+            F.size(w) - F.size(F.array_distinct(w)), F.size(w)
+        ),
+    )
 
 
-def word_ngrams_col(text: Column, n: int) -> Column:
-    """Word n-grams (space-joined) as an array column, [] when < n words.
-
-    The < n guard matters: Spark's ``sequence(1, stop)`` DESCENDS when
-    stop < 1 instead of returning an empty array."""
-    w = words_col(text)
+def _ngrams_of(w: Column, n: int) -> Column:
+    """n-grams over an ALREADY-BOUND words array (lambda var or attr)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(
@@ -229,11 +248,25 @@ def word_ngrams_col(text: Column, n: int) -> Column:
     )
 
 
+def word_ngrams_col(text: Column, n: int) -> Column:
+    """Word n-grams (space-joined) as an array column, [] when < n words.
+
+    The < n guard matters: Spark's ``sequence(1, stop)`` DESCENDS when
+    stop < 1 instead of returning an empty array. The words array is bound
+    before the transform — captured free subtrees inside HOF lambdas are
+    re-evaluated PER ELEMENT, which made this O(words^2) splits per doc."""
+    return _bind(words_col(text), lambda w: _ngrams_of(w, n))
+
+
 def dup_ngram_fraction_col(text: Column, n: int = 5) -> Column:
     """Fraction of word n-grams that repeat an earlier n-gram (Gopher's
     duplicate-n-gram family, count form)."""
-    g = word_ngrams_col(text, n)
-    return _safe_frac(F.size(g) - F.size(F.array_distinct(g)), F.size(g))
+    return _bind(
+        word_ngrams_col(text, n),
+        lambda g: _safe_frac(
+            F.size(g) - F.size(F.array_distinct(g)), F.size(g)
+        ),
+    )
 
 
 def top_bigram_char_fraction(

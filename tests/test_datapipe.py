@@ -387,3 +387,15 @@ def test_word_ngrams_sequence_guard(spark):
     assert got == [[], [], []]
     got2 = [r[0] for r in df.select(word_ngrams_col(F.col("text"), 2)).collect()]
     assert got2 == [["a b", "b c"], [], []]
+
+
+def test_hash_str64_batch_matches_scalar():
+    """The vectorized FNV kernel must be bit-identical to the scalar law."""
+    import numpy as np
+
+    from heritrix3_spark.datapipe.dedup import hash_str64, hash_str64_batch
+
+    cases = ["", "a", "hello world", "é ü ñ", "x" * 300, "word " * 50, "ÿ"]
+    got = hash_str64_batch(cases)
+    assert got.dtype == np.uint64
+    assert [int(v) for v in got] == [hash_str64(s) for s in cases]
