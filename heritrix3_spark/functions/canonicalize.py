@@ -122,16 +122,31 @@ def canonicalize(url: str) -> str:
 # ---------------------------------------------------------------------------
 # Spark Column expressions (JVM regex, whole-stage codegen, zero Python)
 # ---------------------------------------------------------------------------
-def _strip_col(col: Column, pattern: str, guard: Column | None = None) -> Column:
+def _bind(value: Column, fn) -> Column:
+    """Evaluate ``value`` once and pass it to ``fn`` as a lambda variable
+    (transform over a 1-element array). Catalyst duplicates multiply-
+    referenced subtrees and codegen CSE cannot hoist them out of CASE
+    branches, so every chain stage below binds its input."""
+    return F.transform(F.array(value), fn)[0]
+
+
+def _strip_col(col: Column, pattern: str, guard_fn=None) -> Column:
     # regexp_replace with an anchored full-match pattern replaces the whole
     # string with $1$2; non-participating optional groups substitute "".
-    # ``guard`` is a cheap containment pre-filter: the `^(.+)...$` session
+    # ``guard_fn`` is a cheap containment pre-filter: the `^(.+)...$` session
     # patterns backtrack O(len²) on every NON-matching URL, so skipping rows
-    # that can't match is a ~10× throughput win on the hot path.
-    replaced = F.regexp_replace(col, "(?i)" + pattern, "$1$2")
-    if guard is None:
-        return replaced
-    return F.when(guard, replaced).otherwise(col)
+    # that can't match is a ~10× throughput win on the hot path. The stage
+    # input is BOUND once — the guarded CASE references it three times
+    # (guard, replace input, fall-through), and six chained stages
+    # otherwise re-evaluate the whole upstream chain per reference.
+    if guard_fn is None:
+        return F.regexp_replace(col, "(?i)" + pattern, "$1$2")
+    return _bind(
+        col,
+        lambda x: F.when(
+            guard_fn(x), F.regexp_replace(x, "(?i)" + pattern, "$1$2")
+        ).otherwise(x),
+    )
 
 
 def canonical_col(col: Column) -> Column:
@@ -139,22 +154,22 @@ def canonical_col(col: Column) -> Column:
     c = F.lower(col)
     # guards reference the already-lowercased value, so plain contains() is
     # equivalent to the patterns' (?i)
-    c = _strip_col(c, RE_USERINFO, F.contains(c, F.lit("@")))
-    c = _strip_col(c, RE_WWWN, F.contains(c, F.lit("www")))
+    c = _strip_col(c, RE_USERINFO, lambda x: F.contains(x, F.lit("@")))
+    c = _strip_col(c, RE_WWWN, lambda x: F.contains(x, F.lit("www")))
     c = _strip_col(
         c,
         RE_SESSIONID_BASE,
-        F.contains(c, F.lit("jsessionid=")) | F.contains(c, F.lit("phpsessid=")),
+        lambda x: F.contains(x, F.lit("jsessionid="))
+        | F.contains(x, F.lit("phpsessid=")),
     )
-    c = _strip_col(c, RE_SESSIONID_SID, F.contains(c, F.lit("sid=")))
-    c = _strip_col(c, RE_SESSIONID_ASP, F.contains(c, F.lit("aspsessionid")))
-    c = _strip_col(c, RE_CFID, F.contains(c, F.lit("cfid=")))
-    # FixupQueryString: exact if/else-if branching over last-'?' position.
-    # The branches reference the stripped value many times; binding it to a
-    # lambda variable (via transform over a 1-element array) evaluates the
-    # whole upstream strip chain ONCE per row instead of ~8 times — a ~5×
-    # throughput difference on the schedule hot path.
-    return F.element_at(F.transform(F.array(c), _fixup_query_string_expr), 1)
+    c = _strip_col(c, RE_SESSIONID_SID, lambda x: F.contains(x, F.lit("sid=")))
+    c = _strip_col(
+        c, RE_SESSIONID_ASP, lambda x: F.contains(x, F.lit("aspsessionid"))
+    )
+    c = _strip_col(c, RE_CFID, lambda x: F.contains(x, F.lit("cfid=")))
+    # FixupQueryString: exact if/else-if branching over last-'?' position,
+    # over the bound stripped value.
+    return _bind(c, _fixup_query_string_expr)
 
 
 def _fixup_query_string_expr(c: Column) -> Column:

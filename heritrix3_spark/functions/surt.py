@@ -77,34 +77,74 @@ def surt_authority_class_key(url: str, hops_path: str = "", via: str | None = No
 # ---------------------------------------------------------------------------
 # Spark Column expressions
 # ---------------------------------------------------------------------------
+def _bind(value: Column, fn) -> Column:
+    """Evaluate ``value`` once, pass it to ``fn`` as a lambda variable.
+
+    Catalyst duplicates expression subtrees referenced more than once,
+    and codegen's subexpression elimination cannot hoist subtrees that
+    sit inside different CASE branches — the regex-parse intermediates
+    below were re-executed up to ~10x per row without this (the
+    class_key stage was the #1 cost of the 2M-row schedule bench)."""
+    return F.transform(F.array(value), fn)[0]
+
+
 def surt_col(col: Column) -> Column:
-    """SURT form as a pure Column expression."""
-    scheme = F.regexp_extract(col, r"^([^:/?#]+)://", 1)
-    authority = F.regexp_extract(col, r"^[^:/?#]+://([^/?#]*)", 1)
-    rest = F.regexp_extract(col, r"^[^:/?#]+://[^/?#]*(.*)$", 1)
-    userinfo = F.regexp_extract(authority, r"^(.*)@", 1)
-    hostport = F.regexp_extract(authority, r"^(?:.*@)?(.*)$", 1)
-    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
-    port = F.regexp_extract(hostport, r":([0-9]*)$", 1)
-    is_ipv4 = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
-    surt_host = F.when(is_ipv4, host).otherwise(
-        F.when(
-            F.length(host) > 0,
-            F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(",")),
-        ).otherwise(F.lit(""))
-    )
-    return F.when(
-        col.rlike(r"^[^:/?#]+://"),
-        F.concat(
-            scheme,
-            F.lit("://("),
-            surt_host,
-            F.when(F.length(port) > 0, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
-            F.when(F.length(userinfo) > 0, F.concat(F.lit("@"), userinfo)).otherwise(F.lit("")),
-            F.lit(")"),
-            rest,
-        ),
-    ).otherwise(col)
+    """SURT form as a pure Column expression (parse-once bound form)."""
+
+    def _build(parsed: Column) -> Column:
+        def _hp(hp: Column) -> Column:
+            host = F.regexp_extract(hp, r"^([^:]*)", 1)
+            port = F.regexp_extract(hp, r":([0-9]*)$", 1)
+
+            def _mk(hp2: Column) -> Column:
+                h, p = hp2["host"], hp2["port"]
+                is_ipv4 = h.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+                surt_host = F.when(is_ipv4, h).otherwise(
+                    F.when(
+                        F.length(h) > 0,
+                        F.concat(
+                            F.array_join(F.reverse(F.split(h, r"\.")), ","),
+                            F.lit(","),
+                        ),
+                    ).otherwise(F.lit(""))
+                )
+                userinfo = parsed["userinfo"]
+                return F.concat(
+                    parsed["scheme"],
+                    F.lit("://("),
+                    surt_host,
+                    F.when(
+                        F.length(p) > 0, F.concat(F.lit(":"), p)
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        F.length(userinfo) > 0, F.concat(F.lit("@"), userinfo)
+                    ).otherwise(F.lit("")),
+                    F.lit(")"),
+                    parsed["rest"],
+                )
+
+            return _bind(
+                F.struct(host.alias("host"), port.alias("port")), _mk
+            )
+
+        return _hp(parsed["hostport"])
+
+    def _top(c: Column) -> Column:
+        authority = F.regexp_extract(c, r"^[^:/?#]+://([^/?#]*)", 1)
+        parsed = _bind(
+            authority,
+            lambda a: F.struct(
+                F.regexp_extract(c, r"^([^:/?#]+)://", 1).alias("scheme"),
+                F.regexp_extract(c, r"^[^:/?#]+://[^/?#]*(.*)$", 1).alias("rest"),
+                F.regexp_extract(a, r"^(.*)@", 1).alias("userinfo"),
+                F.regexp_extract(a, r"^(?:.*@)?(.*)$", 1).alias("hostport"),
+            ),
+        )
+        return F.when(
+            c.rlike(r"^[^:/?#]+://"), _bind(parsed, _build)
+        ).otherwise(c)
+
+    return _bind(col, _top)
 
 
 def class_key_col(
@@ -127,10 +167,11 @@ def class_key_col(
         basis = F.when(
             hops_path.endswith("P") & via.isNotNull() & (F.length(via) > 0), via
         ).otherwise(uri)
-    s = surt_col(basis)
-    inner = F.regexp_extract(s, r"://\((.*?)\)", 1)
-    core = F.when(F.length(inner) > 0, F.translate(inner, ":", "#")).otherwise(
-        F.lit(DEFAULT_CLASS_KEY)
+    core = _bind(
+        F.regexp_extract(surt_col(basis), r"://\((.*?)\)", 1),
+        lambda inner: F.when(
+            F.length(inner) > 0, F.translate(inner, ":", "#")
+        ).otherwise(F.lit(DEFAULT_CLASS_KEY)),
     )
     scheme = F.regexp_extract(uri, r"^([^:/?#]+):", 1)
     key = F.when(scheme == "whois", F.lit(WHOIS_CLASS_KEY)).otherwise(core)

@@ -428,7 +428,14 @@ def expression_rule(expression: str, decision: int = ACCEPT) -> Column:
 
 
 def decide_sequence(*rules: Column) -> Column:
-    """Fold: last non-NONE wins; all-NONE -> REJECT (out of scope)."""
+    """Fold: last non-NONE wins; all-NONE -> REJECT (out of scope).
+
+    NB (r6 measurement): binding each rule through a transform-lambda
+    before the NONE test looks like it should help (``when(r != NONE,
+    r)`` references each rule twice) but measured 2x WORSE on the 2M-row
+    scope bench — the HOF wrapper knocks the whole fold out of
+    whole-stage codegen, which costs more than the duplicate predicate
+    evaluation codegen CSE already absorbs. Keep the plain fold."""
     nullified = [F.when(r != NONE, r) for r in reversed(rules)]
     return F.coalesce(*nullified, F.lit(REJECT))
 
