@@ -604,6 +604,11 @@ class CrawlEngine:
         # always drained before _free_round_frames releases round blocks
         self._commit_pool = None
         self._pending_commits: list = []
+        # cross-round host view: the previous round's post-commit merged
+        # host state (≡ host_state read), persisted; next round consumes
+        # it instead of re-running the MoR merge. Must be invalidated by
+        # every host mutation outside run_round.
+        self._hosts_cache = None
         # memo for round-INVARIANT Column trees (pure functions of cfg and
         # the seed list): profiling showed rebuilding the big expression
         # trees (canonicalize chain, scope chain, fetch-law CASEs) cost
@@ -1594,14 +1599,24 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     # deterministic scalable ordinal assignment
     # ------------------------------------------------------------------
-    def _assign_ordinals(self, df: DataFrame, order_cols: list[str]) -> DataFrame:
+    def _assign_ordinals(
+        self, df: DataFrame, order_cols: list[str], defer_count: bool = False
+    ) -> DataFrame:
         """Global discovery-order rank + next_ordinal offset, without a
         single-partition sort: range-partition on the (unique) order key,
         rank within partitions, add per-partition cumulative offsets
         (collected counts are O(partitions)). Mirrors prepForFrontier's
         ordinal serial (AbstractFrontier.java:821-825) deterministically.
+
+        ``defer_count=True`` (parts==1 fast path only): skip the
+        persist+count materialization — the caller checkpoints the result
+        anyway, counts the checkpointed frame (cheap), and advances
+        ``next_ordinal`` itself. The eager form paid a dedicated pass
+        over the whole candidate pipeline just for the bookkeeping count.
+        ``self._ordinals_deferred`` reports which contract applied.
         """
         parts = max(1, self.cfg.ordinal_partitions)
+        self._ordinals_deferred = defer_count and parts == 1
         if parts == 1:
             # small-round fast path: one window over one partition, no
             # boundary-sampling pass, no offsets join. Use when per-round
@@ -1610,6 +1625,8 @@ class CrawlEngine:
             out = df.withColumn(
                 "ordinal", (F.lit(self.next_ordinal) + F.row_number().over(w1) - 1).cast("long")
             )
+            if self._ordinals_deferred:
+                return out
             out = self._round_persist(out)
             self._last_novel_count = out.count()
             self.next_ordinal += self._last_novel_count
@@ -1732,14 +1749,36 @@ class CrawlEngine:
             self._commit_pool = None
         self._pending_commits = []
 
+    def _invalidate_hosts_cache(self) -> None:
+        df, self._hosts_cache = self._hosts_cache, None
+        if df is None:
+            return
+        try:
+            # localCheckpoint blocks are pinned via the analyzed plan's RDD
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
     def run_round(self) -> bool:
         """Execute one macro-batch round. Returns False when crawl is done."""
+        ok = False
+        more = False
         try:
-            return self._run_round_impl()
+            more = self._run_round_impl()
+            ok = True
+            return more
         finally:
             # in-flight commit jobs read round frames — join them BEFORE
             # the blocks are released (also covers the exception path)
             self._drain_commit_pool()
+            if not ok or not more:
+                # failed round: the cross-round host view may not match
+                # what actually committed; finished crawl: don't leave one
+                # cached frame per completed engine on a long-lived driver
+                self._invalidate_hosts_cache()
             self._free_round_frames()
 
     def _run_round_impl(self) -> bool:
@@ -1763,7 +1802,20 @@ class CrawlEngine:
         # without a persist each action re-runs the merge-on-read shuffle.
         # O(hosts) rows — bounded cluster-wide even at 10^10 URLs (hosts is
         # the queue table, orders of magnitude smaller than the frontier).
-        hosts = self._round_persist(self.host_t.read(self.spark))
+        # The previous round's `updated` frame IS the post-commit merged
+        # host state (the upsert wrote exactly its changed subset), so it
+        # carries over as this round's view — skipping one MoR merge
+        # (delta aggregate + anti-join stage-jobs) per round. Invalidated
+        # by every out-of-round host mutation (_recount_pending, resume).
+        if self._hosts_cache is not None:
+            hosts = self._hosts_cache
+            self._hosts_cache = None
+            # consumed this round: release with the round's other frames
+            # ("ckpt": localCheckpoint blocks hang off the analyzed plan's
+            # LogicalRDD — DataFrame.unpersist would not touch them)
+            self._round_frames.append(("ckpt", hosts))
+        else:
+            hosts = self._round_persist(self.host_t.read(self.spark))
 
         # --- futureUris maturation (checkFutures,
         # WorkQueueFrontier.java:743-760): matured rows re-enter their
@@ -3316,7 +3368,9 @@ class CrawlEngine:
             .drop("__rk")
         )
         novel = self.urlseen.filter_novel(first).unionByName(forced)
-        novel = self._assign_ordinals(novel, ["parent_ordinal", "outlink_index"])
+        novel = self._assign_ordinals(
+            novel, ["parent_ordinal", "outlink_index"], defer_count=True
+        )
         timer.mark("ordinal-assign")
         cand_data = F.col("data")
         if auth_on:
@@ -3371,6 +3425,12 @@ class CrawlEngine:
                 cand_data.alias("data"),
             )
         )
+        if getattr(self, "_ordinals_deferred", False):
+            # deferred-ordinal bookkeeping: count the checkpointed frame
+            # (reads materialized blocks — no pipeline re-execution)
+            self._last_novel_count = novel_rows.count()
+            self.next_ordinal += self._last_novel_count
+            self._ordinals_deferred = False
         # forced rows are rare and round-bounded: collect them (tiny) to
         # drive the exact-path seen insert + the addSeed scope announce
         forced_rows = novel_rows.filter(F.col("force_fetch")).select(
@@ -4021,12 +4081,19 @@ class CrawlEngine:
             )
             .drop("__budget", "__quota_retire")
         )
-        # one materialization serves both the host upsert below and the
-        # metrics depth aggregate (updated ≡ the post-round merged host
-        # state: untouched hosts keep identical values through the null
-        # branches above) — the depth agg previously re-read the host MoR
-        # table post-upsert, a whole extra merge per round
-        updated = self._round_persist(updated)
+        # one materialization serves the host upsert below, the metrics
+        # depth aggregate AND the next round's host view (updated ≡ the
+        # post-round merged host state: untouched hosts keep identical
+        # values through the null branches above). LAZY localCheckpoint:
+        # the host-chain upsert is the first action and materializes the
+        # blocks in the same job, and the checkpoint TRUNCATES LINEAGE —
+        # a plain persist chained every round's plan onto the previous
+        # round's view and the analyzed tree grew without bound (driver
+        # heap death on long expiry/recrawl loops). Kept OUTSIDE the
+        # round-frame registry: it lives until the next round consumes it
+        # (which registers it for that round's cleanup).
+        updated = updated.localCheckpoint(eager=False)
+        self._hosts_cache = updated
         # O(touched)/round: only queues that emitted, matured, or received
         # novel URIs changed this round — upsert exactly those; untouched
         # hosts keep their base/delta rows (merge-on-read)
@@ -4393,6 +4460,8 @@ class CrawlEngine:
             self.host_t.overwrite(updated)
         else:
             self.host_t.upsert(updated, seq=2 * self.round + 1)
+        # the cached cross-round host view no longer matches the table
+        self._invalidate_hosts_cache()
 
     # ------------------------------------------------------------------
     # journal import (recovery without checkpoint)
