@@ -466,6 +466,19 @@ class CrawlEngine:
     #: keeps read-side file counts and delta-merge key sets bounded while
     #: amortizing the O(table) rewrite over COMPACT_EVERY rounds
     COMPACT_EVERY = 32
+    #: rebuild the cross-round host view from the parquet table every K
+    #: rounds. Spark 4's Dataset.checkpoint copies the ORIGIN plan's
+    #: estimated statistics into the LogicalRDD (rewriteStatsAndConstraints,
+    #: ExistingRDD.scala:200-264) instead of resetting them to leaf
+    #: defaults, so a view carried round-over-round closes a feedback loop:
+    #: each round's join estimates MULTIPLY the carried frame's sizeInBytes
+    #: into the next carried frame's, the BigInt's bit length grows
+    #: geometrically (~2x/round), and by ~round 30 the driver spends
+    #: minutes in BigInteger math before java.math.BigInteger overflows
+    #: ("BigInteger would overflow supported range" at a localCheckpoint).
+    #: A periodic parquet re-read resets the chain to file-based leaf
+    #: stats; at K=8 the carried estimate stays ~10^4 bits (microseconds).
+    HOSTS_VIEW_RESET_EVERY = 8
 
     def __init__(
         self,
@@ -609,6 +622,9 @@ class CrawlEngine:
         # it instead of re-running the MoR merge. Must be invalidated by
         # every host mutation outside run_round.
         self._hosts_cache = None
+        # rounds since the view was last rebuilt from the parquet table
+        # (see HOSTS_VIEW_RESET_EVERY)
+        self._hosts_view_age = 0
         # memo for round-INVARIANT Column trees (pure functions of cfg and
         # the seed list): profiling showed rebuilding the big expression
         # trees (canonicalize chain, scope chain, fetch-law CASEs) cost
@@ -1807,15 +1823,23 @@ class CrawlEngine:
         # carries over as this round's view — skipping one MoR merge
         # (delta aggregate + anti-join stage-jobs) per round. Invalidated
         # by every out-of-round host mutation (_recount_pending, resume).
+        if (
+            self._hosts_cache is not None
+            and self._hosts_view_age >= self.HOSTS_VIEW_RESET_EVERY
+        ):
+            # break the carried-stats feedback loop (HOSTS_VIEW_RESET_EVERY)
+            self._invalidate_hosts_cache()
         if self._hosts_cache is not None:
             hosts = self._hosts_cache
             self._hosts_cache = None
+            self._hosts_view_age += 1
             # consumed this round: release with the round's other frames
             # ("ckpt": localCheckpoint blocks hang off the analyzed plan's
             # LogicalRDD — DataFrame.unpersist would not touch them)
             self._round_frames.append(("ckpt", hosts))
         else:
             hosts = self._round_persist(self.host_t.read(self.spark))
+            self._hosts_view_age = 0
 
         # --- futureUris maturation (checkFutures,
         # WorkQueueFrontier.java:743-760): matured rows re-enter their
