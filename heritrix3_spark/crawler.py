@@ -1389,7 +1389,11 @@ class CrawlEngine:
         semi-join-pruned to the round's bounded province set; only
         round-bounded sides are broadcast."""
         cfg = self.cfg
-        from heritrix3_spark.functions.surt import surt_col
+        # surt_col_plain, NOT the bound surt_col: user/pw feed the parse
+        # UDF's arguments, and lambda-bearing UDF args break
+        # ExtractPythonUDFs once a downstream HOF inlines the call (see
+        # surt_col_plain's docstring)
+        from heritrix3_spark.functions.surt import surt_col, surt_col_plain
         from heritrix3_spark.operators import forms as FORMS
         from heritrix3_spark.operators.extract import resolve_ref_col
 
@@ -1418,7 +1422,7 @@ class CrawlEngine:
         # sheet selection: LONGEST applicable SURT prefix wins (the
         # most-specific overlay; scalar twin forms.login_entry_for)
         entries = sorted(cfg.form_login, key=lambda e: len(e[0]), reverse=True)
-        surt_form = surt_col(F.col("canonical"))
+        surt_form = surt_col_plain(F.col("canonical"))
         user = F.lit(None).cast("string")
         pw = F.lit(None).cast("string")
         pfx = F.lit(None).cast("string")

@@ -88,6 +88,47 @@ def _bind(value: Column, fn) -> Column:
     return F.transform(F.array(value), fn)[0]
 
 
+def surt_col_plain(col: Column) -> Column:
+    """SURT form WITHOUT the transform-array binds (the pre-r6 expression,
+    golden-vector equivalent to :func:`surt_col`).
+
+    Use this variant when the result feeds a **Python UDF argument**: the
+    bound form embeds LambdaFunctions, and Spark's ExtractPythonUDFs will
+    not extract a UDF whose argument tree ends up nested under another
+    higher-order function after projection collapsing (e.g. a downstream
+    ``F.filter(udf_result, ...)`` inlining the call) — the UDF is then
+    interpreted-eval'd and dies with
+    ``[INTERNAL_ERROR] Cannot evaluate expression: _parse(...)``
+    (caught by test_forms crawl parity). Per-row cost does not matter at
+    such sites; extraction correctness does."""
+    scheme = F.regexp_extract(col, r"^([^:/?#]+)://", 1)
+    authority = F.regexp_extract(col, r"^[^:/?#]+://([^/?#]*)", 1)
+    rest = F.regexp_extract(col, r"^[^:/?#]+://[^/?#]*(.*)$", 1)
+    userinfo = F.regexp_extract(authority, r"^(.*)@", 1)
+    hostport = F.regexp_extract(authority, r"^(?:.*@)?(.*)$", 1)
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]*)$", 1)
+    is_ipv4 = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    surt_host = F.when(is_ipv4, host).otherwise(
+        F.when(
+            F.length(host) > 0,
+            F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(",")),
+        ).otherwise(F.lit(""))
+    )
+    return F.when(
+        col.rlike(r"^[^:/?#]+://"),
+        F.concat(
+            scheme,
+            F.lit("://("),
+            surt_host,
+            F.when(F.length(port) > 0, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            F.when(F.length(userinfo) > 0, F.concat(F.lit("@"), userinfo)).otherwise(F.lit("")),
+            F.lit(")"),
+            rest,
+        ),
+    ).otherwise(col)
+
+
 def surt_col(col: Column) -> Column:
     """SURT form as a pure Column expression (parse-once bound form)."""
 
